@@ -1,0 +1,123 @@
+"""Golden fixture generation: pure-Python oracle → parquet.
+
+The goldens are produced exclusively by :mod:`pyref` (the cited restatement
+of the reference semantics — never by the Spark pipeline), so comparing the
+Spark output against them is a genuine two-implementation equality check.
+The driver's `oracle_sql()` reads these parquet files from DuckDB for the
+extraction queries whose semantics (sequential scans, HTML parsing,
+Python-`re` cleaning) are not faithfully expressible in ANSI SQL.
+
+Int columns are int32 to byte-match Spark's IntegerType outputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import pyref
+from .transcripts import ensure_transcripts, tier_for_sf_dir, warehouse_dir
+
+_I32 = pa.int32()
+
+ROLLUP_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", _I32),
+    ("kind", pa.string()),
+    ("extracted_text", pa.string()),
+    ("n_blocks_kept", _I32),
+    ("n_blocks_dropped", _I32),
+    ("chars_in", _I32),
+    ("chars_out", _I32),
+])
+
+SPANS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", _I32),
+    ("span_idx", _I32),
+    ("span_start", _I32),
+    ("span_end", _I32),
+    ("text", pa.string()),
+])
+
+BOXES_VARIANT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", _I32),
+    ("extracted_text", pa.string()),
+])
+
+
+def golden_path(tier: str, name: str) -> str:
+    return os.path.join(warehouse_dir(), "golden", f"{name}_{tier}.parquet")
+
+
+def _write(path: str, rows: list[dict], schema: pa.Schema) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cols = {f: [r[f] for r in rows] for f in schema.names}
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pydict(cols, schema=schema), tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+def ensure_goldens(tier: str) -> dict[str, str]:
+    """Generate (once) all golden tables for a tier; returns name → path."""
+    paths = {
+        "extract": golden_path(tier, "extract"),
+        "spans": golden_path(tier, "spans"),
+        "boxes_v1": golden_path(tier, "boxes_v1"),
+        "boxes_v3": golden_path(tier, "boxes_v3"),
+        "stitch": golden_path(tier, "stitch"),
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+
+    import pyarrow.parquet as _pq
+
+    tpath = ensure_transcripts(tier)
+    table = _pq.read_table(tpath, columns=["conv_id", "turn_idx", "text", "tool"])
+    convs: dict[str, list[tuple[int, str]]] = {}
+    rollup_rows, span_rows, v1_rows, v3_rows = [], [], [], []
+    for conv_id, turn_idx, text, tool in zip(
+        table.column("conv_id").to_pylist(),
+        table.column("turn_idx").to_pylist(),
+        table.column("text").to_pylist(),
+        table.column("tool").to_pylist(),
+    ):
+        r = pyref.extract_turn(text, tool, variant="v2", geometry="easy")
+        rollup_rows.append({
+            "conv_id": conv_id, "turn_idx": turn_idx, "kind": r["kind"],
+            "extracted_text": r["extracted_text"],
+            "n_blocks_kept": r["n_blocks_kept"],
+            "n_blocks_dropped": r["n_blocks_dropped"],
+            "chars_in": r["chars_in"], "chars_out": r["chars_out"],
+        })
+        for i, (s, e, t) in enumerate(r["spans"]):
+            span_rows.append({"conv_id": conv_id, "turn_idx": turn_idx,
+                              "span_idx": i, "span_start": s, "span_end": e, "text": t})
+        convs.setdefault(conv_id, []).append((turn_idx, r["extracted_text"]))
+        if r["kind"] == "boxes":
+            for variant, acc in (("v1", v1_rows), ("v3", v3_rows)):
+                rv = pyref.extract_turn(text, tool, variant=variant)
+                acc.append({"conv_id": conv_id, "turn_idx": turn_idx,
+                            "extracted_text": rv["extracted_text"]})
+
+    _write(paths["extract"], rollup_rows, ROLLUP_SCHEMA)
+    _write(paths["spans"], span_rows, SPANS_SCHEMA)
+    _write(paths["boxes_v1"], v1_rows, BOXES_VARIANT_SCHEMA)
+    _write(paths["boxes_v3"], v3_rows, BOXES_VARIANT_SCHEMA)
+
+    # X11b conversation stitching golden (ocr_app/ui/cli.py:163-168)
+    stitch_rows = [
+        {"conv_id": cid,
+         "stitched": pyref.stitch_pages_v2([t for _, t in sorted(turns)])}
+        for cid, turns in sorted(convs.items())
+    ]
+    _write(paths["stitch"], stitch_rows,
+           pa.schema([("conv_id", pa.string()), ("stitched", pa.string())]))
+    return paths
+
+
+def ensure_goldens_for_sf_dir(sf_dir: str) -> dict[str, str]:
+    return ensure_goldens(tier_for_sf_dir(sf_dir))

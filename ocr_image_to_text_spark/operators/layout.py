@@ -1,0 +1,126 @@
+"""Reading-order reconstruction over token boxes — numpy implementation.
+
+Independent (vectorized) re-implementation of the reference's line
+clustering, verified byte-for-byte against
+:mod:`ocr_image_to_text_spark.pyref` by tests/test_layout_equiv.py.
+
+Variants (SURVEY.md §2.4 A2):
+  v1 — tol 20px, per-token anchor, top-edge y key, within-line key (x0, top_y)
+       (ocr_app/core/ocr_engine.py:544-576)
+  v2 — tol max(10, 0.01*H), per-token anchor, center-y key, within-line key x0
+       (src/ocr_module.py:274-306, 339-370) — canonical default
+  v3 — tol 10px, LINE-START anchor, (y0, x0) sort, no within-line re-sort
+       (src/core/ocr_engine.py:72-100)
+
+v1/v2 are pure gaps-and-islands (sortable + cumulative break-sum →
+fully vectorized with argsort/diff/cumsum). v3's anchor depends on the
+previous break decision → inherently sequential scan per turn.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def _assemble(texts: list, order: np.ndarray, line_id: np.ndarray) -> str:
+    """Join tokens (already in final order) into ' '-joined lines, '\n'-joined."""
+    out = []
+    cur: list[str] = []
+    last = -1
+    for pos, i in enumerate(order):
+        if line_id[pos] != last and cur:
+            out.append(" ".join(cur))
+            cur = []
+        cur.append(texts[i])
+        last = line_id[pos]
+    if cur:
+        out.append(" ".join(cur))
+    return "\n".join(out)
+
+
+def layout_v1(polys: np.ndarray, texts: list) -> str:
+    """polys: (n, 4, 2) float64."""
+    n = len(texts)
+    if n == 0:
+        return ""
+    y0 = polys[:, 0, 1]
+    order = np.argsort(y0, kind="stable")
+    top_y = polys[:, :, 1].min(axis=1)[order]
+    x0 = polys[order, 0, 0]
+    breaks = np.zeros(n, dtype=np.int64)
+    breaks[1:] = (np.abs(np.diff(top_y)) > 20).astype(np.int64)
+    line_id = np.cumsum(breaks)
+    # within-line stable sort by (x0, top_y): seq index is the final tiebreak
+    seq = np.arange(n)
+    final = np.lexsort((seq, top_y, x0, line_id))
+    return _assemble(texts, order[final], line_id[final])
+
+
+def layout_v2(polys: np.ndarray, texts: list, img_h: float, geometry: str = "easy") -> str:
+    n = len(texts)
+    if n == 0:
+        return ""
+    if geometry == "paddle":
+        cy = (polys[:, 0, 1] + polys[:, 3, 1]) / 2
+    else:
+        cy = (polys[:, 0, 1] + polys[:, 2, 1]) / 2
+    order = np.argsort(cy, kind="stable")
+    cy_s = cy[order]
+    x0 = polys[order, 0, 0]
+    tol = max(10, img_h * 0.01)
+    breaks = np.zeros(n, dtype=np.int64)
+    breaks[1:] = (np.abs(np.diff(cy_s)) > tol).astype(np.int64)
+    line_id = np.cumsum(breaks)
+    seq = np.arange(n)
+    final = np.lexsort((seq, x0, line_id))
+    return _assemble(texts, order[final], line_id[final])
+
+
+def layout_v3(polys: np.ndarray, texts: list) -> str:
+    n = len(texts)
+    if n == 0:
+        return ""
+    y0 = polys[:, 0, 1]
+    x0 = polys[:, 0, 0]
+    seq = np.arange(n)
+    order = np.lexsort((seq, x0, y0))
+    ys = y0[order]
+    # sequential line-anchor scan (anchor = y of the line-opening token)
+    line_id = np.zeros(n, dtype=np.int64)
+    anchor = ys[0]
+    lid = 0
+    for i in range(1, n):
+        if abs(ys[i] - anchor) > 10:
+            lid += 1
+            anchor = ys[i]
+        line_id[i] = lid
+    return _assemble(texts, order, line_id)
+
+
+def extract_boxes_json(payload: str, variant: str = "v2", geometry: str = "easy",
+                       conf_threshold: float = 0.3) -> tuple[str, int, int]:
+    """Parse a boxes payload and run conf filter (F1) + layout (A2).
+
+    Returns (extracted_text, n_tokens_kept, n_tokens_dropped).
+    """
+    try:
+        payload_obj = json.loads(payload)
+    except (ValueError, TypeError):
+        return "", 0, 0
+    boxes = payload_obj.get("boxes") or []
+    n_total = len(boxes)
+    kept = [b for b in boxes if b[2] > conf_threshold]
+    n_kept = len(kept)
+    if n_kept == 0:
+        return "", 0, n_total
+    polys = np.asarray([b[0] for b in kept], dtype=np.float64)
+    texts = [b[1] for b in kept]
+    if variant == "v1":
+        text = layout_v1(polys, texts)
+    elif variant == "v3":
+        text = layout_v3(polys, texts)
+    else:
+        text = layout_v2(polys, texts, float(payload_obj.get("h", 0)), geometry)
+    return text, n_kept, n_total - n_kept

@@ -1,0 +1,87 @@
+"""Property tests: the numpy layout engine is byte-equal to the oracle,
+and clustering is invariant under input permutation (the reference sorts
+first, so detection order must not matter except for exact-tie stability).
+"""
+
+import json
+import random
+
+import pytest
+
+from ocr_image_to_text_spark import pyref
+from ocr_image_to_text_spark.operators.htmlx import extract_html_one
+from ocr_image_to_text_spark.operators.layout import extract_boxes_json
+from ocr_image_to_text_spark.transcripts import (
+    BOX_FIXTURES,
+    _boxes_fixture,
+    _boxes_payload,
+    _html_payload,
+    _plain_payload,
+)
+
+
+@pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
+def test_random_payloads_match_oracle(variant):
+    rng = random.Random(123)
+    for _ in range(300):
+        payload = _boxes_payload(rng)
+        obj = json.loads(payload)
+        kept = pyref.conf_filter(obj["boxes"])
+        want = pyref.format_with_layout(kept, obj["h"], variant)
+        got, n_kept, n_dropped = extract_boxes_json(payload, variant)
+        assert got == want
+        assert n_kept == len(kept)
+        assert n_dropped == len(obj["boxes"]) - len(kept)
+
+
+@pytest.mark.parametrize("case", BOX_FIXTURES)
+@pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
+def test_fixture_payloads_match_oracle(case, variant):
+    payload = _boxes_fixture(case)
+    obj = json.loads(payload)
+    kept = pyref.conf_filter(obj["boxes"])
+    want = pyref.format_with_layout(kept, obj["h"], variant)
+    assert extract_boxes_json(payload, variant)[0] == want
+
+
+def test_permutation_invariance_when_keys_distinct():
+    # With strictly distinct sort keys the output is order-independent.
+    rng = random.Random(7)
+    for _ in range(50):
+        payload = _boxes_payload(rng)
+        obj = json.loads(payload)
+        base = extract_boxes_json(payload, "v2")[0]
+        boxes = obj["boxes"]
+        cys = [(b[0][0][1] + b[0][2][1]) / 2 for b in boxes]
+        if len(set(cys)) != len(cys):
+            continue  # exact center ties fall back to input-order stability
+        for _ in range(3):
+            rng.shuffle(boxes)
+            shuffled = json.dumps({"h": obj["h"], "w": obj["w"], "boxes": boxes})
+            assert extract_boxes_json(shuffled, "v2")[0] == base
+
+
+def test_html_random_match_oracle():
+    rng = random.Random(321)
+    for _ in range(300):
+        h = _html_payload(rng)
+        blocks, dropped = pyref.extract_html_blocks(h)
+        assert extract_html_one(h) == ("\n".join(blocks), len(blocks), dropped)
+
+
+def test_cleaning_idempotent_on_ascii():
+    # X1/X2 are NOT idempotent on non-ASCII input (bug-faithful: the
+    # non-ASCII strip runs after whitespace collapse, so "a 中 b" → "a  b").
+    # On ASCII input both cleaners are fixed points after one application.
+    rng = random.Random(55)
+    for _ in range(200):
+        p = "".join(ch for ch in _plain_payload(rng) if ord(ch) < 128)
+        once = pyref.preprocess_text(p)
+        assert pyref.preprocess_text(once) == once
+        c1 = pyref.clean_extracted_text(p)
+        assert pyref.clean_extracted_text(c1) == c1
+
+
+def test_cleaning_non_idempotence_documented():
+    # pin the bug-faithful behavior so a "fix" would be caught
+    assert pyref.preprocess_text("a 中 b") == "a  b"
