@@ -115,7 +115,9 @@ def test_entities_x7():
     # Bug-faithful: the leading \b cannot sit before '+', so the match
     # starts inside the parens and keeps the stray ')'.
     assert e["phones"] == ["555) 123-4567"]
-    assert e["urls"] == ["https://x.y/z%20a"]
+    # Bug-faithful: '/' is absent from the URL char class, so the path after
+    # the host is not captured.
+    assert e["urls"] == ["https://x.y"]
 
 
 def test_language_x8():
