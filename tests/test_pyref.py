@@ -122,7 +122,8 @@ def test_entities_x7():
 
 def test_language_x8():
     assert pyref.detect_language_fallback("short") == "en"
-    assert pyref.detect_language_fallback("这是中文文本这是中文文本这是中文") == "zh"
+    assert pyref.detect_language_fallback("这是中文文本这是中文文本这是中文") == "en"  # len<20 guard
+    assert pyref.detect_language_fallback("这是中文文本这是中文文本这是中文文本四五六") == "zh"
     assert pyref.detect_language_fallback("это русский текст достаточной длины") == "ru"
 
 
