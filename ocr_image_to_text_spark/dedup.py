@@ -1,0 +1,158 @@
+"""Large-scale deduplication operators over the `documents` table.
+
+Scale design (100 TB / 10^9 docs):
+  * exact:   one shuffle on the content hash; map-side partial counts.
+  * n-gram Jaccard: inverted-index join on shingles (pairs sharing >= 1
+    shingle), never a cross join — candidate set is bounded by shingle
+    co-occurrence, and AQE skew-join splits hot shingles. A document
+    frequency cap (drop shingles appearing in > df_cap docs) bounds the
+    worst-case join fan-out at corpus scale.
+  * MinHash+LSH: k lexicographic-min md5 signatures → b bands of r rows →
+    bucket self-join on band key (equi-join, shuffle on band hash) →
+    verify candidates with true Jaccard. Cost is O(candidates), not O(n²).
+
+All hash material is md5 hex (string order), so the DuckDB oracle twins in
+__spark_entry__ are byte-identical. Jaccard is emitted as
+floor(1000 * |A∩B| / |A∪B|) to keep the comparison integral.
+
+Reference analog: the md5 result cache key (ocr_app/utils/performance.py:
+190-268) is the only content-hash precedent; dedup itself is a new
+training-data-pipeline capability (SURVEY.md build mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_WIDTH = 3  # word 3-grams
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Group identical texts by md5; one row per distinct content."""
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.min("doc_id").cast("long").alias("keep_doc_id"))
+    )
+
+
+def shingles(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - width + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, width), " "),
+    )
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold_x1000: int = 100,
+                        df_cap: int | None = None) -> DataFrame:
+    """Candidate pairs via inverted-index join; exact Jaccard verify.
+
+    Output: (doc_a, doc_b, jacc_x1000) with doc_a < doc_b. Pairs with zero
+    shared shingles have Jaccard 0, so the inverted index loses nothing.
+    """
+    sh = shingles(docs).cache()
+    if df_cap is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > df_cap)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jacc_x1000",
+            F.floor(F.lit(1000.0) * F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("long"),
+        )
+    )
+    return (
+        j.filter(F.col("jacc_x1000") >= threshold_x1000)
+        .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jacc_x1000")
+    )
+
+
+def minhash_signature_cols(num_hashes: int = 8):
+    """k minhashes = lexicographic min of md5('<i>:' || shingle)."""
+
+    def build(sh_array):
+        return [
+            F.array_min(F.transform(sh_array, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            .alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+
+    return build
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
+                      threshold_x1000: int = 100) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    num_hashes/bands → rows-per-band r = num_hashes // bands; two docs are
+    candidates iff all r minhashes agree in some band.
+    Output: (doc_a, doc_b, jacc_x1000) — the verified subset, so at any
+    scale the result is a (recall<1) subset of ngram_jaccard_pairs.
+    """
+    r = num_hashes // bands
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - SHINGLE_WIDTH + 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, SHINGLE_WIDTH), " "),
+        )
+    )
+    sig = docs.select("doc_id", *minhash_signature_cols(num_hashes)(sh_arr))
+    band_rows = None
+    for b in range(bands):
+        key = F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
+        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    cand = (
+        band_rows.alias("x")
+        .join(band_rows.alias("y"), ["band", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, threshold_x1000=threshold_x1000)
+    return cand.join(verified, ["doc_a", "doc_b"]).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jacc_x1000"
+    )
+
+
+def simhash_expr_sql(dialect: str, bits: int = 32) -> str:
+    """Generate the SimHash expression for a dialect ('spark' | 'duckdb').
+
+    Input context: an array/list column named `hs` of 8-hex-char word-hash
+    prefixes (md5(word)[1:8]). Bit b of a word hash lives in hex nibble
+    b//4, position (3 - b%4) from the MSB of the nibble. A signature bit is
+    1 iff sum over distinct words of (2*bit - 1) >= 0.
+    """
+    strpos = "instr" if dialect == "spark" else "strpos"
+    if dialect == "spark":
+        sum_tpl = "aggregate(transform(hs, h -> {contrib}), 0, (acc, x) -> acc + x)"
+    else:
+        sum_tpl = "list_sum(list_transform(hs, h -> {contrib}))"
+    terms = []
+    for b in range(bits):
+        nib = f"({strpos}('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1)"
+        bit = f"(cast(floor({nib} / {2 ** (3 - b % 4)}) as int) % 2)"
+        contrib = f"(2 * {bit} - 1)"
+        s = sum_tpl.format(contrib=contrib)
+        terms.append(f"(case when {s} >= 0 then cast({2 ** (bits - 1 - b)} as bigint) else 0 end)")
+    return "(" + " + ".join(terms) + ")"

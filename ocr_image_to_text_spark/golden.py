@@ -31,6 +31,7 @@ ROLLUP_SCHEMA = pa.schema([
     ("n_blocks_dropped", _I32),
     ("chars_in", _I32),
     ("chars_out", _I32),
+    ("table_flag", pa.bool_()),
 ])
 
 SPANS_SCHEMA = pa.schema([
@@ -92,6 +93,7 @@ def ensure_goldens(tier: str) -> dict[str, str]:
             "n_blocks_kept": r["n_blocks_kept"],
             "n_blocks_dropped": r["n_blocks_dropped"],
             "chars_in": r["chars_in"], "chars_out": r["chars_out"],
+            "table_flag": r["table_flag"],
         })
         for i, (s, e, t) in enumerate(r["spans"]):
             span_rows.append({"conv_id": conv_id, "turn_idx": turn_idx,

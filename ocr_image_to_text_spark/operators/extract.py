@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     IntegerType,
     StringType,
     StructField,
@@ -36,6 +37,7 @@ RESULT_SCHEMA = StructType(
         StructField("extracted_text", StringType()),
         StructField("n_blocks_kept", IntegerType()),
         StructField("n_blocks_dropped", IntegerType()),
+        StructField("table_flag", BooleanType()),
         StructField("span_starts", ArrayType(IntegerType())),
         StructField("span_ends", ArrayType(IntegerType())),
         StructField("span_texts", ArrayType(StringType())),
@@ -65,20 +67,22 @@ def _spans_cols(text: str) -> tuple[list[int], list[int], list[str]]:
     return starts, ends, lines
 
 
-def _result_frame(rows: list[tuple[str, int, int]]) -> pd.DataFrame:
+def _result_frame(rows: list[tuple[str, int, int, bool]]) -> pd.DataFrame:
     data = {
         "extracted_text": [],
         "n_blocks_kept": [],
         "n_blocks_dropped": [],
+        "table_flag": [],
         "span_starts": [],
         "span_ends": [],
         "span_texts": [],
     }
-    for text, kept, dropped in rows:
+    for text, kept, dropped, tflag in rows:
         s, e, t = _spans_cols(text)
         data["extracted_text"].append(text)
         data["n_blocks_kept"].append(kept)
         data["n_blocks_dropped"].append(dropped)
+        data["table_flag"].append(tflag)
         data["span_starts"].append(s)
         data["span_ends"].append(e)
         data["span_texts"].append(t)
@@ -99,7 +103,7 @@ def make_boxes_udf(variant: str = "v2", geometry: str = "easy", conf_threshold: 
 
 @pandas_udf(RESULT_SCHEMA)
 def extract_html_udf(text: pd.Series) -> pd.DataFrame:
-    return _result_frame([extract_html_one(t or "") for t in text.to_numpy()])
+    return _result_frame([(*extract_html_one(t or ""), False) for t in text.to_numpy()])
 
 
 @pandas_udf(RESULT_SCHEMA)
@@ -107,7 +111,7 @@ def extract_plain_udf(text: pd.Series) -> pd.DataFrame:
     rows = []
     for t in text.to_numpy():
         clean = clean_block(t or "")  # X1, Python `re`
-        rows.append((clean, 1 if clean else 0, 0))
+        rows.append((clean, 1 if clean else 0, 0, False))
     return _result_frame(rows)
 
 
@@ -172,6 +176,7 @@ def extract_turns(
         F.col("r.extracted_text").alias("extracted_text"),
         F.col("r.n_blocks_kept").alias("n_blocks_kept"),
         F.col("r.n_blocks_dropped").alias("n_blocks_dropped"),
+        F.col("r.table_flag").alias("table_flag"),
         (F.length(F.coalesce(F.col("text"), F.lit(""))) +
          F.length(F.coalesce(F.col("tool"), F.lit("")))).alias("chars_in"),
         F.length(F.col("r.extracted_text")).alias("chars_out"),

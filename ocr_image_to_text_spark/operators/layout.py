@@ -99,22 +99,41 @@ def layout_v3(polys: np.ndarray, texts: list) -> str:
     return _assemble(texts, order, line_id)
 
 
-def extract_boxes_json(payload: str, variant: str = "v2", geometry: str = "easy",
-                       conf_threshold: float = 0.3) -> tuple[str, int, int]:
-    """Parse a boxes payload and run conf filter (F1) + layout (A2).
+def table_flag_of(all_polys: np.ndarray) -> bool:
+    """A13 — src/ocr_module.py:516-540 even-spacing heuristic, vectorized.
 
-    Returns (extracted_text, n_tokens_kept, n_tokens_dropped).
+    Computed over ALL detections (pre conf-filter), easy-geometry y centers
+    (:527); population std (np.std default, :536).
+    """
+    n = all_polys.shape[0]
+    if n <= 10:
+        return False
+    cy = np.sort((all_polys[:, 0, 1] + all_polys[:, 2, 1]) / 2)
+    diffs = np.diff(cy)
+    if diffs.size <= 5:
+        return False
+    mean = diffs.mean()
+    std = diffs.std()
+    return bool(std < mean * 0.5 and std > 0)
+
+
+def extract_boxes_json(payload: str, variant: str = "v2", geometry: str = "easy",
+                       conf_threshold: float = 0.3) -> tuple[str, int, int, bool]:
+    """Parse a boxes payload and run conf filter (F1) + layout (A2) + A13.
+
+    Returns (extracted_text, n_tokens_kept, n_tokens_dropped, table_flag).
     """
     try:
         payload_obj = json.loads(payload)
     except (ValueError, TypeError):
-        return "", 0, 0
+        return "", 0, 0, False
     boxes = payload_obj.get("boxes") or []
     n_total = len(boxes)
     kept = [b for b in boxes if b[2] > conf_threshold]
     n_kept = len(kept)
+    tflag = table_flag_of(np.asarray([b[0] for b in boxes], dtype=np.float64)) if n_total else False
     if n_kept == 0:
-        return "", 0, n_total
+        return "", 0, n_total, tflag
     polys = np.asarray([b[0] for b in kept], dtype=np.float64)
     texts = [b[1] for b in kept]
     if variant == "v1":
@@ -123,4 +142,4 @@ def extract_boxes_json(payload: str, variant: str = "v2", geometry: str = "easy"
         text = layout_v3(polys, texts)
     else:
         text = layout_v2(polys, texts, float(payload_obj.get("h", 0)), geometry)
-    return text, n_kept, n_total - n_kept
+    return text, n_kept, n_total - n_kept, tflag

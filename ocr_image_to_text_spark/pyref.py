@@ -617,12 +617,17 @@ def extract_turn(text: str, tool: str, variant: str = "v2", geometry: str = "eas
     tool = tool or ""
     kind = classify_kind(text, tool)
     chars_in = len(text) + len(tool)
+    table_flag = False
     if kind == "boxes":
         payload = json.loads(tool)
         boxes = payload.get("boxes", [])
         kept = conf_filter(boxes, conf_threshold)
         extracted = format_with_layout(kept, payload.get("h", 0), variant, geometry)
         n_kept, n_dropped = len(kept), len(boxes) - len(kept)
+        # A13 — src/ocr_module.py:516-540: even-spacing table heuristic over
+        # ALL detections (the reference applies it pre-filter), easy-geometry
+        # y centers (:527)
+        table_flag = detect_table_spacing([(b[0][0][1] + b[0][2][1]) / 2 for b in boxes])
     elif kind == "html":
         blocks, n_dropped = extract_html_blocks(text)
         extracted = "\n".join(blocks)
@@ -639,4 +644,5 @@ def extract_turn(text: str, tool: str, variant: str = "v2", geometry: str = "eas
         "n_blocks_dropped": n_dropped,
         "chars_in": chars_in,
         "chars_out": len(extracted),
+        "table_flag": table_flag,
     }

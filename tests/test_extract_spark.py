@@ -25,7 +25,8 @@ def test_rollup_matches_golden(spark, t1_paths):
     assert len(got) == len(want)
     for o, g in zip(got, want):
         for f in ("conv_id", "turn_idx", "kind", "extracted_text",
-                  "n_blocks_kept", "n_blocks_dropped", "chars_in", "chars_out"):
+                  "n_blocks_kept", "n_blocks_dropped", "chars_in", "chars_out",
+                  "table_flag"):
             assert o[f] == g[f], (g["conv_id"], g["turn_idx"], f)
 
 

@@ -28,7 +28,7 @@ def test_random_payloads_match_oracle(variant):
         obj = json.loads(payload)
         kept = pyref.conf_filter(obj["boxes"])
         want = pyref.format_with_layout(kept, obj["h"], variant)
-        got, n_kept, n_dropped = extract_boxes_json(payload, variant)
+        got, n_kept, n_dropped, _tflag = extract_boxes_json(payload, variant)
         assert got == want
         assert n_kept == len(kept)
         assert n_dropped == len(obj["boxes"]) - len(kept)
