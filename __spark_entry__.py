@@ -1,38 +1,334 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline ops) to a (spark, sf_dir) → DataFrame callable;
+``oracle_sql()`` provides the DuckDB-equivalent SQL.
+
+Oracle strategy (two kinds):
+  * Analytics over documents/embeddings/events: REAL DuckDB SQL that
+    restates the operator independently (regex/list/window functions).
+  * Extraction-pipeline queries: the oracle is the pure-Python restatement
+    of the reference semantics (ocr_image_to_text_spark.pyref — cited,
+    Spark-free), materialized deterministically to parquet by golden.py;
+    the SQL reads that parquet. Sequential layout scans, HTML parsing and
+    Python-`re` cleaning are not faithfully expressible in ANSI SQL, so a
+    two-implementation equality check (numpy/pandas-UDF engine vs pure
+    Python) is the strongest available oracle there.
+
+Column-name/type contract: every computed column is aliased identically on
+both sides; integral outputs are BIGINT on both sides (or int32 where the
+golden parquet pins int32); doubles are avoided (scaled to ints with an
+explicit floor(x + 0.5), never dialect-dependent casts/rounds).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_GOLD = os.path.join(_REPO, "warehouse", "golden")
+
+
+def _g(name: str, tier: str = "t2") -> str:
+    """Golden parquet path for the driver's sf=0.01 correctness tier."""
+    return os.path.join(_GOLD, f"{name}_{tier}.parquet")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full per-turn extraction rollup on the t1 transcripts."""
+    from ocr_image_to_text_spark import queries as q
+
+    return q.extract_rollup(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocr_image_to_text_spark import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- extraction pipeline (SURVEY §2.2/2.4/2.5/2.6, north_star) ---
+        "extract_rollup": q.extract_rollup,
+        "extract_spans": q.extract_spans,
+        "extract_boxes_v1": q.extract_boxes_v1,
+        "extract_boxes_v3": q.extract_boxes_v3,
+        "extract_kind_metrics": q.extract_kind_metrics,
+        "conversation_stitch": q.conversation_stitch,
+        "boxes_table_flags": q.boxes_table_flags,
+        "chunks_modern": q.chunks_modern,
+        # --- documents analytics (SURVEY §2.8) ---
+        "doc_entities": q.doc_entities,
+        "doc_lang": q.doc_lang,
+        "doc_stats": q.doc_stats,
+        "doc_quality_v1": q.doc_quality_v1,
+        "doc_quality_v2": q.doc_quality_v2,
+        "doc_best_engine": q.doc_best_engine,
+        "doc_chunks_legacy": q.doc_chunks_legacy,
+        "doc_keyword_score_x5": q.doc_keyword_score_x5,
+        "doc_topk_keyword_x6": q.doc_topk_keyword_x6,
+        "doc_sentences": q.doc_sentences,
+        "doc_markdown": q.doc_markdown,
+        "doc_html": q.doc_html,
+        # --- training-data pipeline ops ---
+        "doc_token_counts": q.doc_token_counts,
+        "doc_fingerprints": q.doc_fingerprints,
+        "dedup_exact": q.dedup_exact,
+        "dedup_ngram_jaccard": q.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q.dedup_minhash_lsh,
+        "doc_simhash": q.doc_simhash,
+        "ann_cosine_topk": q.ann_cosine_topk,
+        "emb_dup_pairs": q.emb_dup_pairs,
+        "ann_lsh_topk": q.ann_lsh_topk,
+        # --- events (streaming-adjacent batch ops) ---
+        "events_hourly": q.events_hourly,
+        "events_sessions": q.events_sessions,
+    }
+
+
+_QW = "['data', 'engine', 'filter', 'quality', 'spark']"
+
+_SCORE_V2 = """(
+    least(length({c}) / 100.0, 10.0)
+    + least(len(list_distinct(regexp_extract_all(lower({c}), '\\w+'))) / 10.0, 10.0)
+    + (length(regexp_replace({c}, '[^A-Za-z0-9]', '', 'g')) / cast(length({c}) as double)) * 10
+    + CASE WHEN contains({c}, chr(10)) THEN 5.0 ELSE 0.0 END
+    - CASE WHEN length({c}) < 20 THEN 5.0 ELSE 0.0 END
+)"""
+
+_SHINGLES = """
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') ws FROM documents),
+shl AS (SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                        i -> array_to_string(list_slice(ws, i, i + 2), ' '))) shs
+        FROM w),
+sh AS (SELECT doc_id, unnest(shs) shingle FROM shl),
+sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+cm AS (SELECT a.doc_id da, b.doc_id db, count(*) c
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+jac AS (SELECT da, db, cast(floor(1000.0 * c / (x.n + y.n - c)) as bigint) jacc_x1000
+        FROM cm JOIN sz x ON cm.da = x.doc_id JOIN sz y ON cm.db = y.doc_id)
+"""
+
+_EMB_NORM = """
+base AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) nrm FROM base)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_image_to_text_spark.dedup import simhash_expr_sql
+
+    sigs = ",\n          ".join(
+        f"list_aggregate(list_transform(shs, s -> md5('{i}:' || s)), 'min') mh{i}"
+        for i in range(8)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} band, mh{2*b} || '|' || mh{2*b+1} band_key FROM sig"
+        for b in range(4)
+    )
+    return {
+        # --- extraction pipeline: oracle = pure-Python pyref goldens ---
+        "extract_rollup": f"""
+            SELECT conv_id, turn_idx, kind, extracted_text, n_blocks_kept,
+                   n_blocks_dropped, chars_in, chars_out, table_flag
+            FROM read_parquet('{_g("extract")}')""",
+        "extract_spans": f"""
+            SELECT conv_id, turn_idx, span_idx, span_start, span_end, text
+            FROM read_parquet('{_g("spans")}')""",
+        "extract_boxes_v1": f"""
+            SELECT conv_id, turn_idx, extracted_text
+            FROM read_parquet('{_g("boxes_v1")}')""",
+        "extract_boxes_v3": f"""
+            SELECT conv_id, turn_idx, extracted_text
+            FROM read_parquet('{_g("boxes_v3")}')""",
+        "extract_kind_metrics": f"""
+            SELECT kind, count(*) n_turns,
+                   cast(sum(chars_in) as bigint) sum_chars_in,
+                   cast(sum(chars_out) as bigint) sum_chars_out,
+                   cast(sum(n_blocks_kept) as bigint) sum_blocks_kept,
+                   cast(sum(n_blocks_dropped) as bigint) sum_blocks_dropped
+            FROM read_parquet('{_g("extract")}') GROUP BY kind""",
+        "conversation_stitch": f"""
+            SELECT conv_id, stitched FROM read_parquet('{_g("stitch")}')""",
+        "boxes_table_flags": f"""
+            SELECT conv_id, turn_idx, table_flag
+            FROM read_parquet('{_g("extract")}') WHERE kind = 'boxes'""",
+        # --- documents analytics: real SQL restatements ---
+        "doc_entities": r"""
+            SELECT doc_id, 'date' entity_type,
+                   unnest(regexp_extract_all(text, '\b\d{1,2}[/-]\d{1,2}[/-]\d{2,4}\b')) entity FROM documents
+            UNION ALL SELECT doc_id, 'date',
+                   unnest(regexp_extract_all(text, '\b\d{4}[/-]\d{1,2}[/-]\d{1,2}\b')) FROM documents
+            UNION ALL SELECT doc_id, 'date',
+                   unnest(regexp_extract_all(text, '(?i)\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{1,2},? \d{4}\b')) FROM documents
+            UNION ALL SELECT doc_id, 'email',
+                   unnest(regexp_extract_all(text, '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b')) FROM documents
+            UNION ALL SELECT doc_id, 'phone',
+                   unnest(regexp_extract_all(text, '\b(?:\+\d{1,3}[- ]?)?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b')) FROM documents
+            UNION ALL SELECT doc_id, 'url',
+                   unnest(regexp_extract_all(text, 'https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+')) FROM documents""",
+        "doc_lang": r"""
+            SELECT doc_id, CASE
+                WHEN length(text) < 20 THEN 'en'
+                WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+                WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
+                WHEN regexp_matches(text, '[\x{0600}-\x{06ff}]') THEN 'ar'
+                WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+                ELSE 'en' END lang_detected
+            FROM documents""",
+        "doc_stats": r"""
+            SELECT doc_id,
+                   cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END as bigint) n_words,
+                   cast(length(text) as bigint) n_chars,
+                   cast(len(string_split(text, chr(10))) as bigint) n_lines
+            FROM documents""",
+        "doc_quality_v1": r"""
+            SELECT doc_id, cast(floor(
+                (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                    least(1.0, length(text) / 100.0)
+                    * (length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+                       / cast(length(text) as double))
+                 END) * 1000000 + 0.5) as bigint) score_x1e6
+            FROM documents""",
+        "doc_quality_v2": f"""
+            SELECT doc_id, cast(floor(
+                (CASE WHEN length(text) = 0 THEN 0.0 ELSE {_SCORE_V2.format(c="text")} END)
+                * 1000000 + 0.5) as bigint) score_x1e6
+            FROM documents""",
+        "doc_best_engine": f"""
+            WITH c AS (SELECT doc_id, text p, substr(text, 1, 100) e FROM documents)
+            SELECT doc_id, CASE
+                WHEN length(p) = 0 AND length(e) = 0 THEN ''
+                WHEN length(p) = 0 THEN 'easy'
+                WHEN length(e) = 0 THEN 'paddle'
+                WHEN {_SCORE_V2.format(c="p")} >= {_SCORE_V2.format(c="e")} THEN 'paddle'
+                ELSE 'easy' END winner
+            FROM c""",
+        "doc_chunks_legacy": r"""
+            WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents)
+            SELECT doc_id, cast(i // 80 as bigint) chunk_idx,
+                   array_to_string(list_slice(ws, i + 1, i + 100), ' ') chunk
+            FROM w, unnest(generate_series(0, len(ws) - 1, 80)) t(i)""",
+        "doc_keyword_score_x5": f"""
+            WITH d AS (SELECT doc_id, lower(text) cl,
+                              regexp_extract_all(lower(text), '\\w+') cw FROM documents)
+            SELECT doc_id, cast(
+                5 * len(list_filter({_QW}, w -> list_contains(cw, w)))
+                + 10 * len(list_filter({_QW}, w -> length(w) > 3 AND contains(cl, w)))
+                as bigint) score_x10
+            FROM d""",
+        "doc_topk_keyword_x6": f"""
+            WITH s AS (SELECT doc_id, cast(len(list_filter({_QW},
+                w -> list_contains(regexp_split_to_array(trim(regexp_replace(lower(text),
+                     '[^\\w\\s]', '', 'g')), '\\s+'), w))) as bigint) score
+                FROM documents)
+            SELECT doc_id, score,
+                   cast(row_number() OVER (ORDER BY score DESC, doc_id) as bigint) rank
+            FROM s WHERE score > 0 QUALIFY rank <= 3""",
+        "doc_sentences": r"""
+            WITH s AS (SELECT doc_id,
+                string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) l
+                FROM documents)
+            SELECT doc_id, cast(i - 1 as bigint) sentence_idx, l[i] sentence
+            FROM s, unnest(generate_series(1, len(l))) t(i)""",
+        "doc_markdown": r"""
+            SELECT doc_id, array_to_string(list_transform(string_split(text, chr(10)),
+                l -> CASE WHEN trim(l) = upper(trim(l)) AND trim(l) != lower(trim(l))
+                          AND length(trim(l)) < 50 AND length(trim(l)) > 3
+                     THEN '## ' || l ELSE l END), chr(10)) formatted
+            FROM documents""",
+        "doc_html": r"""
+            SELECT doc_id, '<div class="ocr-text">' || chr(10)
+                || array_to_string(list_transform(string_split(text, chr(10)),
+                     l -> CASE WHEN length(trim(l)) = 0 THEN '<br>'
+                          ELSE '<p>' || l || '</p>' END), chr(10))
+                || chr(10) || '</div>' formatted
+            FROM documents""",
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END as bigint) n_ws_tokens,
+                   cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) as bigint) n_bpe_tokens
+            FROM documents""",
+        "doc_fingerprints": r"""
+            WITH g AS (SELECT doc_id,
+                    list_transform(generate_series(1, greatest(length(text) - 6, 1)),
+                                   i -> md5(substr(text, cast(i as int), 7))) grams
+                FROM documents),
+            wn AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, greatest(len(grams) - 3, 1)),
+                                  j -> list_aggregate(list_slice(grams, j, j + 3), 'min'))) fps
+                FROM g)
+            SELECT doc_id, cast(len(fps) as bigint) n_fp,
+                   list_aggregate(fps, 'min') min_fp,
+                   list_aggregate(fps, 'max') max_fp
+            FROM wn""",
+        "dedup_exact": """
+            SELECT md5(text) text_hash, count(*) n_docs,
+                   cast(min(doc_id) as bigint) keep_doc_id
+            FROM documents GROUP BY 1""",
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLES}
+            SELECT cast(da as bigint) doc_a, cast(db as bigint) doc_b, jacc_x1000
+            FROM jac WHERE jacc_x1000 >= 100""",
+        "dedup_minhash_lsh": f"""
+            WITH {_SHINGLES},
+            sig AS (SELECT doc_id,
+          {sigs}
+                FROM shl),
+            bands AS (
+  {bands}),
+            cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db
+                     FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.band_key = y.band_key
+                        AND x.doc_id < y.doc_id)
+            SELECT cast(cand.da as bigint) doc_a, cast(cand.db as bigint) doc_b, jac.jacc_x1000
+            FROM cand JOIN jac ON cand.da = jac.da AND cand.db = jac.db
+            WHERE jac.jacc_x1000 >= 100""",
+        "doc_simhash": f"""
+            WITH t AS (SELECT doc_id,
+                list_transform(list_distinct(regexp_extract_all(lower(text), '\\w+')),
+                               w -> substr(md5(w), 1, 8)) hs
+                FROM documents)
+            SELECT doc_id, {simhash_expr_sql("duckdb")} simhash FROM t""",
+        "ann_cosine_topk": f"""
+            WITH {_EMB_NORM},
+            j AS (SELECT q.vec_id query_id, b.vec_id neighbor_id,
+                    round(list_sum(list_transform(generate_series(1, len(b.e)),
+                          i -> b.e[i] * q.e[i])) / (b.nrm * q.nrm), 9) cos_r
+                  FROM n b, n q WHERE q.vec_id < 20 AND b.vec_id != q.vec_id)
+            SELECT cast(query_id as bigint) query_id, cast(rank as bigint) rank,
+                   cast(neighbor_id as bigint) neighbor_id,
+                   cast(floor(cos_r * 1000000000 + 0.5) as bigint) cos_x1e9
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_r DESC, neighbor_id) rank FROM j)
+            WHERE rank <= 3""",
+        "emb_dup_pairs": f"""
+            WITH {_EMB_NORM},
+            j AS (SELECT a.vec_id va, b.vec_id vb,
+                    round(list_sum(list_transform(generate_series(1, len(a.e)),
+                          i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 9) cos_r
+                  FROM n a, n b WHERE a.vec_id < b.vec_id)
+            SELECT cast(va as bigint) vec_a, cast(vb as bigint) vec_b,
+                   cast(floor(cos_r * 1000000000 + 0.5) as bigint) cos_x1e9
+            FROM j WHERE cos_r >= 0.35""",
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') hour_bucket, event_type,
+                   count(*) n_events,
+                   cast(sum(cast(floor(value * 100 + 0.5) as bigint)) as bigint) sum_value_x100
+            FROM events GROUP BY 1, 2""",
+        "events_sessions": """
+            WITH b AS (SELECT user_id,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                THEN 1 ELSE 0 END brk FROM events)
+            SELECT user_id, cast(sum(brk) + 1 as bigint) n_sessions
+            FROM b GROUP BY 1""",
+        # chunks_modern / ann_lsh_topk: sequential word-packing and
+        # approximate LSH recall — no faithful ANSI-SQL restatement;
+        # driver records the weaker rows-only check.
+    }

@@ -1,0 +1,296 @@
+"""Named queries over the engine — the driver-facing operator catalog.
+
+Every function takes (spark, sf_dir) and returns a DataFrame; each has a
+DuckDB oracle twin in __spark_entry__.oracle_sql(). Extraction queries run
+the full pipeline on the deterministic transcripts table for the tier
+matching sf_dir; analytics run over the driver-provided documents /
+embeddings / events parquet in sf_dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import dedup, similarity
+from .functions import textfn
+from .golden import ensure_goldens_for_sf_dir
+from .operators.extract import extract_turns, spans_table
+from .transcripts import ensure_transcripts_for_sf_dir
+
+KEYWORD_QUERY_WORDS = ["data", "engine", "filter", "quality", "spark"]
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_transcripts_for_sf_dir(sf_dir)
+    ensure_goldens_for_sf_dir(sf_dir)  # oracle parquet for the DuckDB side
+    return spark.read.parquet(path)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Extraction pipeline queries (oracle = pure-Python golden parquet)
+# ---------------------------------------------------------------------------
+
+
+def extract_rollup(spark, sf_dir):
+    df = _transcripts(spark, sf_dir)
+    return extract_turns(df).select(
+        "conv_id", "turn_idx", "kind", "extracted_text", "n_blocks_kept",
+        "n_blocks_dropped", "chars_in", "chars_out", "table_flag")
+
+
+def extract_spans(spark, sf_dir):
+    df = _transcripts(spark, sf_dir)
+    return spans_table(extract_turns(df))
+
+
+def extract_boxes_v1(spark, sf_dir):
+    df = _transcripts(spark, sf_dir)
+    return (extract_turns(df, variant="v1").filter(F.col("kind") == "boxes")
+            .select("conv_id", "turn_idx", "extracted_text"))
+
+
+def extract_boxes_v3(spark, sf_dir):
+    df = _transcripts(spark, sf_dir)
+    return (extract_turns(df, variant="v3").filter(F.col("kind") == "boxes")
+            .select("conv_id", "turn_idx", "extracted_text"))
+
+
+def extract_kind_metrics(spark, sf_dir):
+    df = _transcripts(spark, sf_dir)
+    return (extract_turns(df).groupBy("kind").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("chars_in").alias("sum_chars_in"),
+        F.sum("chars_out").alias("sum_chars_out"),
+        F.sum("n_blocks_kept").alias("sum_blocks_kept"),
+        F.sum("n_blocks_dropped").alias("sum_blocks_dropped"),
+    ))
+
+
+def conversation_stitch(spark, sf_dir, bucket: int = 1024):
+    """X11b page stitching per conversation — two-phase ordered concat.
+
+    Phase 1 pre-aggregates turn buckets (bounds per-group state for skewed
+    10^6-turn conversations); phase 2 merges ordered buckets. Never a
+    single-task whole-conversation sort.
+    """
+    ext = extract_turns(_transcripts(spark, sf_dir))
+    b = ext.select(
+        "conv_id", "turn_idx", "extracted_text",
+        (F.col("turn_idx") / bucket).cast("int").alias("bkt"))
+    p1 = b.groupBy("conv_id", "bkt").agg(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "extracted_text"))).alias("arr"))
+    p2 = p1.groupBy("conv_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bkt", "arr"))),
+                lambda x: x["arr"],
+            )
+        ).alias("turns"))
+    stitched = F.array_join(
+        F.transform(
+            F.transform(F.col("turns"), lambda t: t["extracted_text"]),
+            lambda t, i: F.concat(F.lit("--- Page "), (i + 1).cast("string"),
+                                  F.lit(" ---\n"), t),
+        ),
+        "\n\n",
+    )
+    return p2.select("conv_id", stitched.alias("stitched"))
+
+
+def boxes_table_flags(spark, sf_dir):
+    df = _transcripts(spark, sf_dir)
+    return (extract_turns(df).filter(F.col("kind") == "boxes")
+            .select("conv_id", "turn_idx", "table_flag"))
+
+
+def chunks_modern(spark, sf_dir):
+    """X3 chunker over extracted turn text (pandas UDF; rows-only check)."""
+    from .operators.chunker import split_chunks_udf
+
+    ext = extract_turns(_transcripts(spark, sf_dir))
+    return (ext.filter(F.length("extracted_text") > 0)
+            .select("conv_id", "turn_idx",
+                    F.posexplode(split_chunks_udf(F.col("extracted_text")))
+                    .alias("chunk_idx", "chunk")))
+
+
+# ---------------------------------------------------------------------------
+# Documents analytics (real DuckDB SQL oracles)
+# ---------------------------------------------------------------------------
+
+
+def doc_entities(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    parts = [
+        docs.select("doc_id", F.lit(et).alias("entity_type"),
+                    F.explode(textfn.entity_matches(F.col("text"), et)).alias("entity"))
+        for et in ("date", "email", "phone", "url")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def doc_lang(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", textfn.lang_col(F.col("text")).alias("lang_detected"))
+
+
+def doc_stats(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", *textfn.stats_cols(F.col("text")))
+
+
+def doc_quality_v1(spark, sf_dir):
+    score = textfn.score_v1_col(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.floor(score * 1e6 + F.lit(0.5)).cast("long").alias("score_x1e6"))
+
+
+def doc_quality_v2(spark, sf_dir):
+    score = textfn.score_v2_col(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.floor(score * 1e6 + F.lit(0.5)).cast("long").alias("score_x1e6"))
+
+
+def doc_best_engine(spark, sf_dir):
+    """A8 argmax over two deterministic candidates (full text vs 100-char cut)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        textfn.best_of_col(F.col("text"), F.substring(F.col("text"), 1, 100))
+        .alias("winner"))
+
+
+def doc_chunks_legacy(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    starts, chunks = textfn.chunks_legacy_cols(F.col("text"))
+    return docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")) \
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+
+
+def doc_keyword_score_x5(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    chunk_lower = F.lower(F.col("text"))
+    chunk_words = F.regexp_extract_all(chunk_lower, F.lit(r"\w+"), 0)
+    qw = F.array(*[F.lit(w) for w in KEYWORD_QUERY_WORDS])
+    wm = F.size(F.filter(qw, lambda w: F.array_contains(chunk_words, w)))
+    pm = F.size(F.filter(qw, lambda w: (F.length(w) > 3) & F.contains(chunk_lower, w)))
+    return docs.select("doc_id", (wm * 5 + pm * 10).cast("long").alias("score_x10"))
+
+
+def doc_topk_keyword_x6(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    score = textfn.keyword_score_x6_col(F.col("text"), KEYWORD_QUERY_WORDS)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (docs.select("doc_id", score.alias("score"))
+            .filter(F.col("score") > 0)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 3))
+
+
+def doc_sentences(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.posexplode(textfn.sentences_col(F.col("text"))).alias("sentence_idx", "sentence")
+    ).withColumn("sentence_idx", F.col("sentence_idx").cast("long"))
+
+
+def doc_markdown(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", textfn.markdown_col(F.col("text")).alias("formatted"))
+
+
+def doc_html(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", textfn.html_fmt_col(F.col("text")).alias("formatted"))
+
+
+def doc_token_counts(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", *textfn.token_count_cols(F.col("text")))
+
+
+def doc_fingerprints(spark, sf_dir):
+    from .operators.fingerprint import fingerprint_udf
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", fingerprint_udf(F.col("text")).alias("fp")) \
+        .select("doc_id", F.col("fp.n_fp").alias("n_fp"),
+                F.col("fp.min_fp").alias("min_fp"), F.col("fp.max_fp").alias("max_fp"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold_x1000=100)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold_x1000=100)
+
+
+def doc_simhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    hs = F.transform(
+        F.array_distinct(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)),
+        lambda w: F.substring(F.md5(w), 1, 8),
+    )
+    return docs.select("doc_id", hs.alias("hs")).select(
+        "doc_id", F.expr(dedup.simhash_expr_sql("spark")).alias("simhash"))
+
+
+def ann_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.cosine_topk(emb, n_queries=20, k=3)
+
+
+def emb_dup_pairs(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.cosine_dup_pairs(emb, threshold=0.35)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.lsh_bucket_topk(emb, n_queries=20, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Events (sessionization = the SQL-native gaps-and-islands twin of A2)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour_bucket"),
+        "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+             .alias("sum_value_x100")))
+
+
+def events_sessions(spark, sf_dir, gap_s: int = 1800):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w))
+        > gap_s * 1_000_000, 1).otherwise(0)
+    return (ev.withColumn("brk", brk)
+            .groupBy("user_id")
+            .agg((F.sum("brk") + 1).cast("long").alias("n_sessions")))

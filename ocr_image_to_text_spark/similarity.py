@@ -51,7 +51,7 @@ def cosine_topk(emb: DataFrame, n_queries: int = 20, k: int = 3) -> DataFrame:
             F.col("query_id").cast("long"),
             F.col("rank").cast("long"),
             F.col("vec_id").cast("long").alias("neighbor_id"),
-            (F.col("cos_r") * 1e9).cast("long").alias("cos_x1e9"),
+            F.floor(F.col("cos_r") * 1e9 + F.lit(0.5)).cast("long").alias("cos_x1e9"),
         )
     )
 
@@ -72,7 +72,7 @@ def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
         .filter(F.col("cos_r") >= threshold)
         .select(F.col("a.vec_id").cast("long").alias("vec_a"),
                 F.col("b.vec_id").cast("long").alias("vec_b"),
-                (F.col("cos_r") * 1e9).cast("long").alias("cos_x1e9"))
+                F.floor(F.col("cos_r") * 1e9 + F.lit(0.5)).cast("long").alias("cos_x1e9"))
     )
 
 
@@ -127,5 +127,5 @@ def lsh_bucket_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
         .filter(F.col("rank") <= k)
         .select(F.col("query_id").cast("long"), F.col("rank").cast("long"),
                 F.col("vec_id").cast("long").alias("neighbor_id"),
-                (F.col("cos_r") * 1e9).cast("long").alias("cos_x1e9"))
+                F.floor(F.col("cos_r") * 1e9 + F.lit(0.5)).cast("long").alias("cos_x1e9"))
     )
