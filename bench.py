@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Driver benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {"extract_rollup": sec, ...}, "sf": 0.1,
+     "turns_per_sec": N, "n_turns": N, "cpus": N}
+
+Per-query timing forces full materialization through the noop sink (no
+collect — rows never cross to the driver). The extraction throughput
+headline (BASELINE.json `metric`: turns/sec) is reported alongside; the
+two-parallelism scaling-efficiency evidence lives in tools/scaling.py →
+BENCH.md (run separately so per-round bench cost stays bounded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _bench_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    from ocr_image_to_text_spark import queries as q
+    from ocr_image_to_text_spark.session import get_spark
+    from ocr_image_to_text_spark.transcripts import ensure_transcripts_for_sf_dir
+
+    # Synthetic transcripts are generated (cached) outside the timed region.
+    tpath = ensure_transcripts_for_sf_dir(sf_dir)
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    n_turns = spark.read.parquet(tpath).count()
+
+    headline = [
+        # extraction pipeline (the north_star job)
+        ("extract_rollup", q.extract_rollup),
+        ("extract_spans", q.extract_spans),
+        ("conversation_stitch", q.conversation_stitch),
+        ("chunks_modern", q.chunks_modern),
+        # documents analytics
+        ("doc_entities", q.doc_entities),
+        ("doc_quality_v2", q.doc_quality_v2),
+        ("doc_token_counts", q.doc_token_counts),
+        ("doc_fingerprints", q.doc_fingerprints),
+        # training-data ops
+        ("dedup_exact", q.dedup_exact),
+        ("dedup_minhash_lsh", q.dedup_minhash_lsh),
+        ("doc_simhash", q.doc_simhash),
+        ("ann_cosine_topk", q.ann_cosine_topk),
+        ("emb_dup_pairs", q.emb_dup_pairs),
+        # events
+        ("events_hourly", q.events_hourly),
+        ("events_sessions", q.events_sessions),
+    ]
+
+    timings: dict[str, float] = {}
+    for name, fn in headline:
+        try:
+            timings[name] = round(_bench_query(spark, fn, sf_dir), 3)
+        except Exception as exc:  # a broken query must not zero the whole bench
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    extract_sec = timings.get("extract_rollup", 0.0)
+    turns_per_sec = round(n_turns / extract_sec, 1) if extract_sec > 0 else 0.0
+
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "turns_per_sec": turns_per_sec,
+        "n_turns": n_turns,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -24,8 +24,14 @@ KEYWORD_QUERY_WORDS = ["data", "engine", "filter", "quality", "spark"]
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .transcripts import tier_for_sf_dir
+
     path = ensure_transcripts_for_sf_dir(sf_dir)
-    ensure_goldens_for_sf_dir(sf_dir)  # oracle parquet for the DuckDB side
+    # Oracle parquet for the DuckDB side — only at correctness tiers; the
+    # bench tier (sf0.1) is timed, never oracle-compared, and the goldens
+    # are a pure-Python pass over every turn.
+    if tier_for_sf_dir(sf_dir) != "bench":
+        ensure_goldens_for_sf_dir(sf_dir)
     return spark.read.parquet(path)
 
 
