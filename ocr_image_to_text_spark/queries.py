@@ -35,8 +35,19 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Re-spread under-partitioned inputs across the executor cores.
+
+    The driver's small-SF parquet arrives as a single split, serializing
+    CPU-heavy expression stages onto one core. At production scale inputs
+    already carry >= defaultParallelism splits and this is a no-op.
+    """
+    p = spark.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _spread(spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
 # ---------------------------------------------------------------------------
@@ -260,19 +271,20 @@ def doc_simhash(spark, sf_dir):
         "doc_id", F.expr(dedup.simhash_expr_sql("spark")).alias("simhash"))
 
 
+def _emb(spark, sf_dir):
+    return _spread(spark, spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
+
+
 def ann_cosine_topk(spark, sf_dir):
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return similarity.cosine_topk(emb, n_queries=20, k=3)
+    return similarity.cosine_topk(_emb(spark, sf_dir), n_queries=20, k=3)
 
 
 def emb_dup_pairs(spark, sf_dir):
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return similarity.cosine_dup_pairs(emb, threshold=0.35)
+    return similarity.cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
 def ann_lsh_topk(spark, sf_dir):
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return similarity.lsh_bucket_topk(emb, n_queries=20, k=3)
+    return similarity.lsh_bucket_topk(_emb(spark, sf_dir), n_queries=20, k=3)
 
 
 # ---------------------------------------------------------------------------

@@ -59,19 +59,63 @@ def cosine_topk(emb: DataFrame, n_queries: int = 20, k: int = 3) -> DataFrame:
 def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Near-duplicate pairs by cosine (embedding near-dup detection).
 
-    Brute force at test scale; pair with lsh_buckets() for corpus scale.
+    All-pairs is inherently O(n²); the executor-side work is a blocked
+    matrix product in a mapInPandas UDF against a broadcast of the (small)
+    full matrix — the classic broadcast-the-small-side pattern. The dot
+    product accumulates dimension-by-dimension (sequential fold), so every
+    double is bit-identical to the SQL `aggregate(zip_with(...))` fold the
+    DuckDB oracle mirrors; rounding/threshold stay in Spark expressions.
+    At 10^9-vector scale the broadcast no longer fits and lsh_bucket_topk's
+    bucket join is the supported path.
     Output: (vec_a, vec_b, cos_x1e9), vec_a < vec_b.
     """
-    base = with_norm(emb).select("vec_id", "_e", "_norm")
-    a, b = base.alias("a"), base.alias("b")
+    import numpy as np
+
+    spark = emb.sparkSession
+    src = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    pdf = src.toPandas()
+    ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)
+    M = np.stack(pdf["e"].to_numpy())  # (N, D) float64
+    D = M.shape[1]
+
+    def _fold_rows(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        # sequential per-dim accumulation == left-to-right double fold
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for d in range(D):
+            acc += A[:, d:d + 1] * B[:, d][None, :]
+        return acc
+
+    def _fold_self(A: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(A.shape[0])
+        for d in range(D):
+            acc += A[:, d] * A[:, d]
+        return acc
+
+    norms_all = np.sqrt(_fold_self(M))
+    bc = spark.sparkContext.broadcast((ids_all, M, norms_all))
+
+    def gen(batches):
+        import pandas as pd
+
+        ids, Mb, norms = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            a_ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            A = np.stack(batch["e"].to_numpy())
+            dot = _fold_rows(A, Mb)
+            cos = dot / (np.sqrt(_fold_self(A))[:, None] * norms[None, :])
+            ia, ib = np.nonzero((a_ids[:, None] < ids[None, :])
+                                & (cos >= threshold - 1e-9))
+            yield pd.DataFrame({
+                "vec_a": a_ids[ia], "vec_b": ids[ib], "cos": cos[ia, ib]})
+
+    pairs = src.repartition(emb.sparkSession.sparkContext.defaultParallelism) \
+        .mapInPandas(gen, "vec_a long, vec_b long, cos double")
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cos", _dot(F.col("a._e"), F.col("b._e"))
-                    / (F.col("a._norm") * F.col("b._norm")))
-        .withColumn("cos_r", F.round(F.col("cos"), 9))
+        pairs.withColumn("cos_r", F.round(F.col("cos"), 9))
         .filter(F.col("cos_r") >= threshold)
-        .select(F.col("a.vec_id").cast("long").alias("vec_a"),
-                F.col("b.vec_id").cast("long").alias("vec_b"),
+        .select("vec_a", "vec_b",
                 F.floor(F.col("cos_r") * 1e9 + F.lit(0.5)).cast("long").alias("cos_x1e9"))
     )
 
