@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentences": q.doc_sentences,
         "doc_markdown": q.doc_markdown,
         "doc_html": q.doc_html,
+        "qa_fallback_x15": q.qa_fallback_x15,
+        "qa_answer_x14": q.qa_answer_x14,
         # --- training-data pipeline ops ---
         "doc_token_counts": q.doc_token_counts,
         "doc_fingerprints": q.doc_fingerprints,
@@ -248,6 +250,31 @@ def oracle_sql() -> dict[str, str]:
                           ELSE '<p>' || l || '</p>' END), chr(10))
                 || chr(10) || '</div>' formatted
             FROM documents""",
+        "qa_fallback_x15": r"""
+            WITH s AS (SELECT doc_id,
+                string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) l
+                FROM documents),
+            x AS (SELECT doc_id, l[i] sentence,
+                         cast(len(list_filter(
+                             ['data','engine','is','quality','spark','the','what'],
+                             w -> contains(regexp_replace(lower(l[i]), '[^\w\s]', '', 'g'), w)))
+                              as int) score, i
+                  FROM s, unnest(generate_series(1, len(l))) t(i)),
+            best AS (SELECT doc_id, sentence, score,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY score DESC, i) rn
+                     FROM x)
+            SELECT doc_id,
+                   CASE WHEN score > 0 THEN sentence
+                        ELSE 'Could not generate an answer. Please check if the document contains relevant information.'
+                   END answer,
+                   CASE WHEN score > 0
+                        THEN cast(floor(least(score / 7.0, 1.0) * 1000000 + 0.5) as bigint)
+                        ELSE 0 END conf_x1e6
+            FROM best WHERE rn = 1""",
+        "qa_answer_x14": f"""
+            SELECT doc_id, query_kind, answer
+            FROM read_parquet('{_g("qa_x14")}')""",
         "doc_token_counts": r"""
             SELECT doc_id,
                    cast(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -50,7 +50,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..operators.extract import extract_turns, spans_table
+from ..operators.extract import extract_turns, span_cols, spans_table
 
 MANIFEST_SCHEMA = StructType([
     StructField("part_id", IntegerType(), False),
@@ -124,7 +124,10 @@ def run_extract_job(
         sub = base.filter(F.col("part_id").isin([int(p) for p in wave]))
         # Salted repartition: turn-granular hash spreads skewed convs.
         ext = extract_turns(sub, variant=variant, partitions=salt_partitions)
-        ext = ext.withColumn("part_id", part_id_col(n_buckets))
+        # span arrays are derivable from extracted_text (span_cols) —
+        # don't double-store the string data in the stage
+        ext = (ext.drop("span_starts", "span_ends", "span_texts")
+               .withColumn("part_id", part_id_col(n_buckets)))
         # One UDF pass → staged parquet; rollup/spans/stats derive from
         # column-pruned re-reads of the stage (no persist: caching the
         # span arrays in the JVM heap measured 3x GC wall-time at 32
@@ -138,11 +141,15 @@ def run_extract_job(
         # across waves; partition pruning keeps derives wave-local).
         staged = (spark.read.parquet(stage_dir)
                   .filter(F.col("part_id").isin([int(p) for p in wave])))
-        (staged.drop("span_starts", "span_ends", "span_texts")
-         .repartition("part_id")
+        (staged.repartition("part_id")
          .write.mode("overwrite").partitionBy("part_id").parquet(rollup_dir))
         t_roll = time.perf_counter() - t0 - t_stage
-        (spans_table(staged).withColumn("part_id", part_id_col(n_buckets))
+        starts, ends, texts = span_cols(F.col("extracted_text"))
+        with_spans = staged.select(
+            "conv_id", "turn_idx", "part_id",
+            starts.alias("span_starts"), ends.alias("span_ends"),
+            texts.alias("span_texts"))
+        (spans_table(with_spans).withColumn("part_id", part_id_col(n_buckets))
          .repartition("part_id")
          .write.mode("overwrite").partitionBy("part_id").parquet(spans_dir))
         t_spans = time.perf_counter() - t0 - t_stage - t_roll

@@ -1,17 +1,24 @@
-"""Per-turn extraction operators: kind dispatch + vectorized pandas UDFs.
+"""Per-turn extraction operators: kind dispatch + one fused pandas UDF.
 
 The pipeline (SURVEY.md §3.1 Spark restatement)::
 
     read.table(transcripts)
       → classify kind (JVM-side exprs: rlike/contains — no Python)
-      → branch per kind through ONE fused Arrow-batched pandas UDF each
+      → ONE fused Arrow-batched dispatch UDF
         (boxes: F1 conf filter + A2/A3 clustering + A1/A4 assembly;
          html: DOM block collect + density scoring + X1 clean;
          plain: X1 clean via Python `re` — oracle-exact)
-      → unionByName → rollup metrics (JVM exprs) → spans via posexplode
+      → rollup metrics + span offsets (JVM exprs) → spans via posexplode
 
-Spans are computed inside the UDF as parallel arrays (no extra shuffle for
-the offset window — SURVEY.md §2.5 W4 done turn-locally).
+Two structural choices measured on the bench tier:
+
+* one dispatch UDF instead of a per-kind branch + unionByName — the
+  branch plan deserialized every row once per branch (3 shuffle reads,
+  3 Python stages): ~3-4x wall at local[32];
+* the UDF emits ONLY scalars. Span offsets (SURVEY §2.5 W4) are a pure
+  prefix-sum over split(extracted_text, '\\n') computed JVM-side, so the
+  Arrow boundary never carries the three per-turn arrays (string data
+  would otherwise cross it twice).
 """
 
 from __future__ import annotations
@@ -21,7 +28,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
-    ArrayType,
     BooleanType,
     IntegerType,
     StringType,
@@ -38,9 +44,6 @@ RESULT_SCHEMA = StructType(
         StructField("n_blocks_kept", IntegerType()),
         StructField("n_blocks_dropped", IntegerType()),
         StructField("table_flag", BooleanType()),
-        StructField("span_starts", ArrayType(IntegerType())),
-        StructField("span_ends", ArrayType(IntegerType())),
-        StructField("span_texts", ArrayType(StringType())),
     ]
 )
 
@@ -52,64 +55,9 @@ HTML_SNIFF_JAVA = (
 BOXES_SNIFF_JAVA = r"^\s*\{"
 
 
-def _spans_cols(text: str) -> tuple[list[int], list[int], list[str]]:
-    """W4 — char-offset spans per output line, as parallel arrays."""
-    if not text:
-        return [], [], []
-    starts: list[int] = []
-    ends: list[int] = []
-    lines = text.split("\n")
-    pos = 0
-    for line in lines:
-        starts.append(pos)
-        ends.append(pos + len(line))
-        pos += len(line) + 1
-    return starts, ends, lines
-
-
-def _result_frame(rows: list[tuple[str, int, int, bool]]) -> pd.DataFrame:
-    data = {
-        "extracted_text": [],
-        "n_blocks_kept": [],
-        "n_blocks_dropped": [],
-        "table_flag": [],
-        "span_starts": [],
-        "span_ends": [],
-        "span_texts": [],
-    }
-    for text, kept, dropped, tflag in rows:
-        s, e, t = _spans_cols(text)
-        data["extracted_text"].append(text)
-        data["n_blocks_kept"].append(kept)
-        data["n_blocks_dropped"].append(dropped)
-        data["table_flag"].append(tflag)
-        data["span_starts"].append(s)
-        data["span_ends"].append(e)
-        data["span_texts"].append(t)
-    return pd.DataFrame(data)
-
-
-def make_boxes_udf(variant: str = "v2", geometry: str = "easy", conf_threshold: float = 0.3):
-    @pandas_udf(RESULT_SCHEMA)
-    def extract_boxes_udf(tool: pd.Series) -> pd.DataFrame:
-        rows = [
-            extract_boxes_json(p, variant, geometry, conf_threshold)
-            for p in tool.to_numpy()
-        ]
-        return _result_frame(rows)
-
-    return extract_boxes_udf
-
-
 def make_dispatch_udf(variant: str = "v2", geometry: str = "easy",
                       conf_threshold: float = 0.3):
-    """ONE fused extractor for all payload kinds.
-
-    A per-kind branch + unionByName costs three shuffle reads and three
-    pandas-UDF stages, each deserializing every row then filtering —
-    measured ~3x wall at local[32]. Dispatching on the precomputed `kind`
-    column inside a single Arrow batch touches each row exactly once.
-    """
+    """ONE fused extractor for all payload kinds (see module docstring)."""
 
     @pandas_udf(RESULT_SCHEMA)
     def extract_dispatch_udf(kind: pd.Series, text: pd.Series,
@@ -123,23 +71,10 @@ def make_dispatch_udf(variant: str = "v2", geometry: str = "easy",
             else:
                 clean = clean_block(t or "")  # X1, Python `re`
                 rows.append((clean, 1 if clean else 0, 0, False))
-        return _result_frame(rows)
+        return pd.DataFrame(rows, columns=[
+            "extracted_text", "n_blocks_kept", "n_blocks_dropped", "table_flag"])
 
     return extract_dispatch_udf
-
-
-@pandas_udf(RESULT_SCHEMA)
-def extract_html_udf(text: pd.Series) -> pd.DataFrame:
-    return _result_frame([(*extract_html_one(t or ""), False) for t in text.to_numpy()])
-
-
-@pandas_udf(RESULT_SCHEMA)
-def extract_plain_udf(text: pd.Series) -> pd.DataFrame:
-    rows = []
-    for t in text.to_numpy():
-        clean = clean_block(t or "")  # X1, Python `re`
-        rows.append((clean, 1 if clean else 0, 0, False))
-    return _result_frame(rows)
 
 
 def kind_col(text: Column = None, tool: Column = None) -> Column:
@@ -159,6 +94,29 @@ def kind_col(text: Column = None, tool: Column = None) -> Column:
     )
 
 
+def span_cols(text: Column) -> tuple[Column, Column, Column]:
+    """W4 — char-offset spans of each output line, as JVM expressions.
+
+    Semantics match the oracle (pyref.spans_of): empty text → no spans;
+    else one span per '\\n'-delimited line (trailing empties kept),
+    starts = running offset, ends = start + len(line).
+    """
+    lines = F.when(F.length(text) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(text, "\n", -1))
+    starts = F.aggregate(
+        lines,
+        F.struct(F.array().cast("array<int>").alias("s"),
+                 F.lit(0).cast("int").alias("pos")),
+        lambda acc, l: F.struct(
+            F.concat(acc["s"], F.array(acc["pos"])).alias("s"),
+            (acc["pos"] + F.length(l) + F.lit(1)).cast("int").alias("pos"),
+        ),
+        lambda acc: acc["s"],
+    )
+    ends = F.zip_with(starts, lines, lambda s, l: (s + F.length(l)).cast("int"))
+    return starts, ends, lines
+
+
 def extract_turns(
     df: DataFrame,
     variant: str = "v2",
@@ -169,7 +127,8 @@ def extract_turns(
     """Per-turn extraction rollup.
 
     Output: (conv_id, turn_idx, kind, extracted_text, n_blocks_kept,
-    n_blocks_dropped, chars_in, chars_out, span_starts, span_ends, span_texts).
+    n_blocks_dropped, table_flag, chars_in, chars_out, span_starts,
+    span_ends, span_texts).
 
     Turns are independent, so the pre-UDF repartition salts by
     (conv_id, turn_idx) — a 10^6-turn conversation spreads over all tasks
@@ -185,6 +144,7 @@ def extract_turns(
     dispatch = make_dispatch_udf(variant, geometry, conf_threshold)
     out = base.withColumn(
         "r", dispatch(F.col("kind"), F.col("text"), F.col("tool")))
+    starts, ends, texts = span_cols(F.col("r.extracted_text"))
     return out.select(
         "conv_id",
         "turn_idx",
@@ -196,9 +156,9 @@ def extract_turns(
         (F.length(F.coalesce(F.col("text"), F.lit(""))) +
          F.length(F.coalesce(F.col("tool"), F.lit("")))).alias("chars_in"),
         F.length(F.col("r.extracted_text")).alias("chars_out"),
-        F.col("r.span_starts").alias("span_starts"),
-        F.col("r.span_ends").alias("span_ends"),
-        F.col("r.span_texts").alias("span_texts"),
+        starts.alias("span_starts"),
+        ends.alias("span_ends"),
+        texts.alias("span_texts"),
     )
 
 

@@ -244,6 +244,19 @@ def doc_fingerprints(spark, sf_dir):
                 F.col("fp.min_fp").alias("min_fp"), F.col("fp.max_fp").alias("max_fp"))
 
 
+def qa_fallback_x15(spark, sf_dir):
+    from .qa import qa_fallback_x15_df
+
+    return qa_fallback_x15_df(_docs(spark, sf_dir))
+
+
+def qa_answer_x14(spark, sf_dir):
+    from .qa import ensure_qa_golden, qa_answer_x14_df
+
+    ensure_qa_golden(sf_dir)  # pyref golden for the DuckDB oracle side
+    return qa_answer_x14_df(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Dedup / similarity (training-data ops)
 # ---------------------------------------------------------------------------

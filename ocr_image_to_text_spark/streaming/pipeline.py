@@ -1,0 +1,162 @@
+"""Structured Streaming wrappers over the extraction engine.
+
+SURVEY.md §2.10: the reference has no streaming; these are the
+Spark-native stretch components the north_star architecture implies —
+the same per-turn extraction running incrementally (`readStream` →
+fused dispatch UDF → `writeStream` with checkpoint), event-time windows
+with watermarks for late turns, and a custom stateful operator via
+applyInPandasWithState (the streaming twin of the batch A2
+gaps-and-islands sessionization).
+
+All entry points default to Trigger.AvailableNow: process everything
+present, checkpoint, stop — which is also the incremental-batch
+("resumable restarts") mode the north_rule asks about: re-running after
+new files land processes only the delta recorded in the checkpoint's
+file-source log.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators.extract import extract_turns
+
+TRANSCRIPT_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("role", StringType()),
+    StructField("text", StringType()),
+    StructField("tool", StringType()),
+    StructField("ts", TimestampType()),
+])
+
+
+def read_transcript_stream(spark: SparkSession, source_dir: str,
+                           max_files_per_trigger: int | None = None) -> DataFrame:
+    r = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(source_dir)
+
+
+def extract_stream(spark: SparkSession, source_dir: str, out_dir: str,
+                   checkpoint_dir: str, await_termination: bool = True):
+    """Incremental extraction: new transcript files → rollup parquet sink.
+
+    The checkpoint's file-source log makes re-runs process only unseen
+    files — the streaming counterpart of the batch manifest resume.
+    """
+    stream = read_transcript_stream(spark, source_dir)
+    ext = extract_turns(stream).drop("span_starts", "span_ends", "span_texts")
+    q = (ext.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .outputMode("append")
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def hourly_kind_counts_stream(spark: SparkSession, source_dir: str,
+                              out_dir: str, checkpoint_dir: str,
+                              watermark: str = "1 hour",
+                              await_termination: bool = True):
+    """Event-time tumbling window with late-data watermark.
+
+    Counts turns per (hour(ts), kind); turns later than the watermark are
+    dropped deterministically by the engine.
+    """
+    from ..operators.extract import kind_col
+
+    stream = read_transcript_stream(spark, source_dir)
+    agg = (stream.withColumn("kind", kind_col())
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", "1 hour").alias("w"), "kind")
+           .agg(F.count("*").alias("n_turns"))
+           .select(F.col("w.start").alias("hour_start"), "kind", "n_turns"))
+    q = (agg.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .outputMode("append")
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: streaming conversation sessionizer
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = StructType([
+    StructField("n_turns", LongType()),
+    StructField("chars", LongType()),
+    StructField("last_turn_idx", LongType()),
+])
+
+SESSION_OUT_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("n_turns", LongType()),
+    StructField("chars", LongType()),
+    StructField("last_turn_idx", LongType()),
+])
+
+
+def _session_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Accumulate per-conversation turn/char counts across micro-batches.
+
+    The streaming analog of the batch A11 perf-stats accumulator
+    (src/ocr_module.py:16-42): state survives between triggers, so late
+    micro-batches keep extending the same conversation.
+    """
+    (conv_id,) = key
+    n_turns, chars, last_idx = (state.get if state.exists else (0, 0, -1))
+    for pdf in pdfs:
+        n_turns += len(pdf)
+        chars += int((pdf["text"].str.len().fillna(0)
+                      + pdf["tool"].str.len().fillna(0)).sum())
+        if len(pdf):
+            last_idx = max(last_idx, int(pdf["turn_idx"].max()))
+    state.update((n_turns, chars, last_idx))
+    yield pd.DataFrame({"conv_id": [conv_id], "n_turns": [n_turns],
+                        "chars": [chars], "last_turn_idx": [last_idx]})
+
+
+def conversation_progress_stream(spark: SparkSession, source_dir: str,
+                                 out_dir: str, checkpoint_dir: str,
+                                 await_termination: bool = True):
+    """applyInPandasWithState: running per-conversation rollup."""
+    stream = read_transcript_stream(spark, source_dir)
+    prog = (stream.groupBy("conv_id").applyInPandasWithState(
+        _session_fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+        "update", GroupStateTimeout.NoTimeout))
+
+    # update-mode stateful output → foreachBatch (file sinks are
+    # append-only); each micro-batch appends its updated conv rows
+    def _sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (prog.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .outputMode("update")
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -176,6 +176,9 @@ TIERS = {
     "t1": dict(n_convs=50, skew_convs=0, skew_len=0),
     "t2": dict(n_convs=2000, skew_convs=2, skew_len=500),
     "bench": dict(n_convs=20000, skew_convs=3, skew_len=5000),
+    # scaling-efficiency measurement: 4x bench so per-leg compute dominates
+    # the fixed per-action overhead of local mode (north_rule N-vs-4N proxy)
+    "scale": dict(n_convs=80000, skew_convs=6, skew_len=5000),
 }
 
 ROLES = ["user", "assistant", "tool"]

@@ -1,0 +1,115 @@
+"""Structured Streaming wrappers: incremental equality with the batch path.
+
+The streaming extraction must produce exactly the batch extraction's
+rollup, and a second availableNow run after new files land must process
+ONLY the delta (checkpointed file-source log) while the union still
+equals batch output over all input — the streaming counterpart of the
+manifest-resume property.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_image_to_text_spark.streaming.pipeline import (
+    conversation_progress_stream,
+    extract_stream,
+    hourly_kind_counts_stream,
+)
+from ocr_image_to_text_spark.transcripts import ensure_transcripts
+
+
+@pytest.fixture()
+def split_source(tmp_path):
+    """t1 transcripts split into two files: initial + late arrival."""
+    src = ensure_transcripts("t1")
+    t = pq.read_table(src)
+    half = t.num_rows // 2
+    d = tmp_path / "src"
+    d.mkdir()
+    pq.write_table(t.slice(0, half), str(d / "part-0.parquet"))
+    return d, t, half
+
+
+def _rollup_cols(df):
+    cols = ["conv_id", "turn_idx", "kind", "extracted_text", "n_blocks_kept",
+            "n_blocks_dropped", "chars_in", "chars_out", "table_flag"]
+    return df.select(*cols).orderBy("conv_id", "turn_idx").collect()
+
+
+def test_extract_stream_incremental_matches_batch(spark, tmp_path, split_source):
+    from ocr_image_to_text_spark.operators.extract import extract_turns
+
+    d, t, half = split_source
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    extract_stream(spark, str(d), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == half
+
+    # late file lands; availableNow again → only the delta is processed
+    pq.write_table(t.slice(half), str(d / "part-1.parquet"))
+    extract_stream(spark, str(d), out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == t.num_rows
+
+    batch = extract_turns(spark.read.parquet(str(d)))
+    assert _rollup_cols(got) == _rollup_cols(batch)
+
+
+def test_hourly_kind_counts_stream(spark, tmp_path, split_source):
+    """Append mode emits a window only once the watermark passes its end —
+    so the stream output must (a) agree with batch on every emitted window
+    and (b) contain ALL windows closed by the final watermark
+    (max event time - 1h). Later windows legitimately stay in state."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ocr_image_to_text_spark.operators.extract import kind_col
+
+    d, t, half = split_source
+    pq.write_table(t.slice(half), str(d / "part-1.parquet"))
+    out, ckpt = str(tmp_path / "wout"), str(tmp_path / "wckpt")
+    hourly_kind_counts_stream(spark, str(d), out, ckpt)
+
+    got = {(r.hour_start, r.kind): r.n_turns
+           for r in spark.read.parquet(out).collect()}
+    batch = spark.read.parquet(str(d)).withColumn("kind", kind_col())
+    exp = {(r.hour_start, r.kind): r.n_turns for r in
+           batch.groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "kind")
+           .agg(F.count("*").alias("n_turns")).collect()}
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert exp[k] == v  # every emitted window agrees with batch
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    closed = max_ts - dt.timedelta(hours=1)
+    missing = [k for k in exp
+               if k[0] + dt.timedelta(hours=1) <= closed and k not in got]
+    assert not missing  # all watermark-closed windows were emitted
+
+
+def test_conversation_progress_stateful(spark, tmp_path, split_source):
+    from pyspark.sql import functions as F
+
+    d, t, half = split_source
+    pq.write_table(t.slice(half), str(d / "part-1.parquet"))
+    out, ckpt = str(tmp_path / "sout"), str(tmp_path / "sckpt")
+    conversation_progress_stream(spark, str(d), out, ckpt)
+
+    # update-mode sink may emit a conversation several times; the LAST
+    # (max n_turns) row per conv must equal the batch totals
+    got = (spark.read.parquet(out).groupBy("conv_id")
+           .agg(F.max("n_turns").alias("n_turns"), F.max("chars").alias("chars"),
+                F.max("last_turn_idx").alias("last_turn_idx")))
+    exp = (spark.read.parquet(str(d)).groupBy("conv_id")
+           .agg(F.count("*").alias("n_turns"),
+                (F.sum(F.length("text")) + F.sum(F.length("tool"))).alias("chars"),
+                F.max("turn_idx").cast("long").alias("last_turn_idx")))
+    key = ["conv_id", "n_turns", "chars", "last_turn_idx"]
+    assert sorted(map(tuple, got.select(*key).collect())) == \
+        sorted(map(tuple, exp.select(*key).collect()))
