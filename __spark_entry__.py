@@ -72,6 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_html": q.doc_html,
         "qa_fallback_x15": q.qa_fallback_x15,
         "qa_answer_x14": q.qa_answer_x14,
+        "boxes_avg_conf": q.boxes_avg_conf,
+        "extract_metrics_cube": q.extract_metrics_cube,
+        "doc_keyword_topk_x5": q.doc_keyword_topk_x5,
+        "doc_txt_envelope": q.doc_txt_envelope,
         # --- training-data pipeline ops ---
         "doc_token_counts": q.doc_token_counts,
         "doc_fingerprints": q.doc_fingerprints,
@@ -275,6 +279,33 @@ def oracle_sql() -> dict[str, str]:
         "qa_answer_x14": f"""
             SELECT doc_id, query_kind, answer
             FROM read_parquet('{_g("qa_x14")}')""",
+        "boxes_avg_conf": f"""
+            SELECT conv_id, turn_idx, avg_conf_x1e9
+            FROM read_parquet('{_g("avg_conf")}')""",
+        "extract_metrics_cube": f"""
+            SELECT kind, table_flag, count(*) n_turns,
+                   cast(sum(chars_out) as bigint) sum_chars_out
+            FROM read_parquet('{_g("extract")}')
+            GROUP BY CUBE (kind, table_flag)""",
+        "doc_keyword_topk_x5": f"""
+            WITH d AS (SELECT doc_id, lower(text) cl,
+                              regexp_extract_all(lower(text), '\\w+') cw FROM documents),
+            s AS (SELECT doc_id,
+                    0.5 * len(list_filter({_QW}, w -> list_contains(cw, w)))
+                    + len(list_filter({_QW}, w -> length(w) > 3 AND contains(cl, w))) raw
+                  FROM d),
+            n AS (SELECT doc_id,
+                    CASE WHEN max(raw) OVER () > 0 THEN raw / (max(raw) OVER ())
+                         ELSE 0.1 END norm
+                  FROM s)
+            SELECT doc_id,
+                   cast(row_number() OVER (ORDER BY norm DESC, doc_id) as bigint) rank,
+                   cast(floor(norm * 1000000 + 0.5) as bigint) score_x1e6
+            FROM n QUALIFY rank <= 3""",
+        "doc_txt_envelope": """
+            SELECT doc_id, repeat('=', 80) || chr(10) || 'DOCUMENT ' || doc_id
+                   || chr(10) || repeat('=', 80) || chr(10) || text || chr(10) formatted
+            FROM documents""",
         "doc_token_counts": r"""
             SELECT doc_id,
                    cast(CASE WHEN length(trim(text)) = 0 THEN 0

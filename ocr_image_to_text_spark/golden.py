@@ -123,3 +123,42 @@ def ensure_goldens(tier: str) -> dict[str, str]:
 
 def ensure_goldens_for_sf_dir(sf_dir: str) -> dict[str, str]:
     return ensure_goldens(tier_for_sf_dir(sf_dir))
+
+
+AVG_CONF_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", _I32),
+    ("avg_conf_x1e9", pa.int64()),
+])
+
+
+def ensure_avg_conf_golden(sf_dir: str) -> str:
+    """A9 golden: mean kept-token confidence per boxes turn (pyref)."""
+    import json
+    import math
+
+    import pyarrow.parquet as _pq
+
+    tier = tier_for_sf_dir(sf_dir)
+    path = golden_path(tier, "avg_conf")
+    if os.path.exists(path):
+        return path
+    tpath = ensure_transcripts(tier)
+    table = _pq.read_table(tpath, columns=["conv_id", "turn_idx", "text", "tool"])
+    rows = []
+    for conv_id, turn_idx, text, tool in zip(
+        table.column("conv_id").to_pylist(),
+        table.column("turn_idx").to_pylist(),
+        table.column("text").to_pylist(),
+        table.column("tool").to_pylist(),
+    ):
+        if pyref.classify_kind(text, tool) != "boxes":
+            continue
+        boxes = (json.loads(tool).get("boxes") or [])
+        avg = pyref.avg_confidence(boxes)
+        if avg is None:
+            continue
+        rows.append({"conv_id": conv_id, "turn_idx": turn_idx,
+                     "avg_conf_x1e9": int(math.floor(avg * 1e9 + 0.5))})
+    _write(path, rows, AVG_CONF_SCHEMA)
+    return path

@@ -118,6 +118,7 @@ def run_extract_job(
     waves = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
     base = df.withColumn("part_id", part_id_col(n_buckets))
     n_done_waves = 0
+    run_turn_counts: list[int] = []
     t_proc0 = time.perf_counter()
     for wave in waves:
         t0 = time.perf_counter()
@@ -166,6 +167,7 @@ def run_extract_job(
               f"rollup={t_roll:.1f}s spans={t_spans:.1f}s stats={t_stats:.1f}s",
               flush=True)
         wall_ms = int((time.perf_counter() - t0) * 1000)
+        run_turn_counts.append(sum(int(s.n_turns) for s in stats.values()))
         rows = []
         for p in wave:
             s = stats.get(p)
@@ -190,14 +192,21 @@ def run_extract_job(
 
         shutil.rmtree(stage_dir, ignore_errors=True)
 
-    m = spark.read.parquet(manifest_dir) if os.path.exists(manifest_dir) else None
+    # n_turns from the in-memory per-wave stats (this run) plus one manifest
+    # read only when resuming (prior runs' turns live only in the manifest)
+    n_this_run = sum(t for t in run_turn_counts)
+    if done:
+        m = spark.read.parquet(manifest_dir)
+        n_total = int(m.filter(F.col("status") == "done")
+                      .agg(F.sum("n_turns")).collect()[0][0] or 0)
+    else:
+        n_total = n_this_run
     summary = {
         "run_id": run_id,
         "n_buckets": n_buckets,
         "resumed_parts": len(done),
         "processed_parts": len(todo),
         "wall_s": round(time.perf_counter() - t_proc0, 3),
-        "n_turns": int(m.filter(F.col("status") == "done")
-                       .agg(F.sum("n_turns")).collect()[0][0] or 0) if m else 0,
+        "n_turns": n_total,
     }
     return summary

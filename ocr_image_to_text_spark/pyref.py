@@ -62,6 +62,23 @@ def flat_concat(boxes: list) -> str:
     return " ".join(b[1] for b in boxes)
 
 
+def avg_confidence(boxes: list, threshold: float = 0.3) -> float | None:
+    """A9 — ocr_core/easyocr_reader.py:23: mean confidence of kept tokens.
+
+    The reference uses np.mean; the engine semantic is restated as the
+    left-to-right sum/len fold (identical to the last ulp for the
+    magnitudes involved; the oracle defines truth, and both
+    implementations fold sequentially). None when nothing is kept
+    (easyocr_reader returns early on an empty filtered list)."""
+    kept = conf_filter(boxes, threshold)
+    if not kept:
+        return None
+    total = 0.0
+    for b in kept:
+        total += float(b[2])
+    return total / len(kept)
+
+
 def format_with_layout_v1(boxes: list) -> str:
     """A2 variant v1 — ocr_app/core/ocr_engine.py:544-576.
 

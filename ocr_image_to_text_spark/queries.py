@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -242,6 +243,85 @@ def doc_fingerprints(spark, sf_dir):
     return docs.select("doc_id", fingerprint_udf(F.col("text")).alias("fp")) \
         .select("doc_id", F.col("fp.n_fp").alias("n_fp"),
                 F.col("fp.min_fp").alias("min_fp"), F.col("fp.max_fp").alias("max_fp"))
+
+
+def boxes_avg_conf(spark, sf_dir):
+    """A9 — mean kept-token confidence per boxes turn.
+
+    Pandas-UDF JSON parse + sequential sum/len fold; the oracle is the
+    pyref golden (ensure_avg_conf_golden), never this UDF."""
+    import json as _json
+    import math as _math
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from .golden import ensure_avg_conf_golden
+    from .operators.extract import kind_col
+
+    ensure_avg_conf_golden(sf_dir)
+
+    @pandas_udf(LongType())
+    def avg_conf_udf(tool: pd.Series) -> pd.Series:
+        out = []
+        for payload in tool.to_numpy():
+            try:
+                boxes = _json.loads(payload).get("boxes") or []
+            except (ValueError, TypeError):
+                boxes = []
+            kept = [b[2] for b in boxes if b[2] > 0.3]
+            if not kept:
+                out.append(None)
+                continue
+            total = 0.0
+            for c in kept:
+                total += float(c)
+            out.append(int(_math.floor(total / len(kept) * 1e9 + 0.5)))
+        return pd.Series(out, dtype="Int64")
+
+    df = _transcripts(spark, sf_dir).withColumn("kind", kind_col())
+    return (df.filter(F.col("kind") == "boxes")
+            .select("conv_id", "turn_idx", avg_conf_udf(F.col("tool")).alias("avg_conf_x1e9"))
+            .filter(F.col("avg_conf_x1e9").isNotNull()))
+
+
+def extract_metrics_cube(spark, sf_dir):
+    """A12 benchmark-rollup analog: CUBE over (kind, table_flag).
+
+    Grouping-sets coverage (SURVEY §2.4 A12 uses pandas groupby slices;
+    cube computes all slices in one shuffle)."""
+    ext = extract_turns(_transcripts(spark, sf_dir))
+    return (ext.cube("kind", "table_flag")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum("chars_out").alias("sum_chars_out")))
+
+
+def doc_keyword_topk_x5(spark, sf_dir, k: int = 3):
+    """Full X5 (ocr_app/utils/text_utils.py:117-155): normalized score with
+    the all-zero fallback (top-k at score 0.1)."""
+    docs = _docs(spark, sf_dir)
+    score = textfn.keyword_score_x5_col(F.col("text"), KEYWORD_QUERY_WORDS)
+    w_all = Window.partitionBy()
+    scored = docs.select("doc_id", score.alias("raw"))
+    mx = F.max("raw").over(w_all)
+    norm = F.when(mx > 0, F.col("raw") / mx).otherwise(F.lit(0.1))
+    ranked = (scored.withColumn("norm", norm)
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.desc("norm"), F.asc("doc_id"))).cast("long"))
+              .filter(F.col("rank") <= k))
+    return ranked.select(
+        "doc_id", "rank",
+        F.floor(F.col("norm") * 1e6 + F.lit(0.5)).cast("long").alias("score_x1e6"))
+
+
+def doc_txt_envelope(spark, sf_dir):
+    """X12 plain-text envelope (src/ocr_cli.py txt shape: '='*80 separators)."""
+    sep = "=" * 80
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit(sep + "\n"), F.lit("DOCUMENT "),
+                 F.col("doc_id").cast("string"), F.lit("\n" + sep + "\n"),
+                 F.col("text"), F.lit("\n")).alias("formatted"))
 
 
 def qa_fallback_x15(spark, sf_dir):
