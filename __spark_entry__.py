@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_v1": q.doc_quality_v1,
         "doc_quality_v2": q.doc_quality_v2,
         "doc_best_engine": q.doc_best_engine,
+        "doc_engine_fallback": q.doc_engine_fallback,
         "doc_chunks_legacy": q.doc_chunks_legacy,
         "doc_keyword_score_x5": q.doc_keyword_score_x5,
         "doc_topk_keyword_x6": q.doc_topk_keyword_x6,
@@ -214,6 +215,11 @@ def oracle_sql() -> dict[str, str]:
                 WHEN {_SCORE_V2.format(c="p")} >= {_SCORE_V2.format(c="e")} THEN 'paddle'
                 ELSE 'easy' END winner
             FROM c""",
+        "doc_engine_fallback": """
+            SELECT doc_id,
+                   coalesce(nullif(substr(text, 101), ''),
+                            nullif(substr(text, 1, 100), ''), '') result
+            FROM documents""",
         "doc_chunks_legacy": r"""
             WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws FROM documents)
             SELECT doc_id, cast(i // 80 as bigint) chunk_idx,

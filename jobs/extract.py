@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--fail-after-waves", type=int, default=None,
                     help="inject a crash after N waves (resume testing)")
+    ap.add_argument("--max-payload-chars", type=int, default=None,
+                    help="drop oversized payloads (count logged to manifest)")
     args = ap.parse_args()
 
     from ocr_image_to_text_spark.session import get_spark
@@ -46,7 +48,8 @@ def main() -> None:
     summary = run_extract_job(
         spark, input_path, args.out,
         n_buckets=args.n_buckets, wave_size=args.wave_size,
-        variant=args.variant, fail_after_waves=args.fail_after_waves)
+        variant=args.variant, fail_after_waves=args.fail_after_waves,
+        max_payload_chars=args.max_payload_chars)
     print(json.dumps(summary))
     spark.stop()
 

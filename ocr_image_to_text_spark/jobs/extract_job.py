@@ -60,6 +60,7 @@ MANIFEST_SCHEMA = StructType([
     StructField("chars_out", LongType(), True),
     StructField("blocks_kept", LongType(), True),
     StructField("blocks_dropped", LongType(), True),
+    StructField("n_oversized", LongType(), True),
     StructField("wall_ms", LongType(), True),
     StructField("run_id", StringType(), False),
     StructField("lineage", StringType(), True),
@@ -89,6 +90,7 @@ def run_extract_job(
     variant: str = "v2",
     fail_after_waves: int | None = None,
     salt_partitions: int | None = None,
+    max_payload_chars: int | None = None,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
 
@@ -123,6 +125,19 @@ def run_extract_job(
     for wave in waves:
         t0 = time.perf_counter()
         sub = base.filter(F.col("part_id").isin([int(p) for p in wave]))
+        # F6 analog (src/ocr/preprocessor.py:14-42 size guard, SURVEY §2.9
+        # resize-cap row): oversized payloads are dropped — never silently;
+        # the count per bucket goes to the manifest (north_star "no silent
+        # caps").
+        oversized_counts: dict[int, int] = {}
+        if max_payload_chars is not None:
+            size_col = (F.length(F.coalesce(F.col("text"), F.lit("")))
+                        + F.length(F.coalesce(F.col("tool"), F.lit(""))))
+            over = sub.filter(size_col > max_payload_chars)
+            oversized_counts = {r.part_id: r.n for r in
+                                over.groupBy("part_id").agg(F.count("*").alias("n"))
+                                .collect()}
+            sub = sub.filter(size_col <= max_payload_chars)
         # Salted repartition: turn-granular hash spreads skewed convs.
         ext = extract_turns(sub, variant=variant, partitions=salt_partitions)
         # span arrays are derivable from extracted_text (span_cols) —
@@ -177,6 +192,7 @@ def run_extract_job(
                          int(s.chars_out) if s else 0,
                          int(s.blocks_kept) if s else 0,
                          int(s.blocks_dropped) if s else 0,
+                         int(oversized_counts.get(p, 0)),
                          wall_ms, run_id, lineage))
         # Commit marker: manifest row lands only after the data write.
         (spark.createDataFrame(rows, MANIFEST_SCHEMA)
@@ -188,9 +204,12 @@ def run_extract_job(
 
     stage_dir = os.path.join(out_dir, "_stage")
     if os.path.exists(stage_dir):
+        # non-blocking: cleanup is GBs of unlink at scale and gates nothing
         import shutil
+        import threading
 
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        threading.Thread(target=shutil.rmtree, args=(stage_dir,),
+                         kwargs={"ignore_errors": True}, daemon=False).start()
 
     # n_turns from the in-memory per-wave stats (this run) plus one manifest
     # read only when resuming (prior runs' turns live only in the manifest)

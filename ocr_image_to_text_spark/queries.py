@@ -187,6 +187,23 @@ def doc_best_engine(spark, sf_dir):
         .alias("winner"))
 
 
+def doc_engine_fallback(spark, sf_dir):
+    """§2.11 fallback chain (ocr_engine.py:388-413): coalesce(nullif(...))
+    over ordered engine candidates — first non-empty wins, else ''.
+
+    Candidates are deterministic text transforms standing in for engine
+    outputs: primary = text after the 100-char mark (empty for short
+    docs), secondary = first 100 chars, tertiary = literal fallback."""
+    docs = _docs(spark, sf_dir)
+    primary = F.substring(F.col("text"), 101, 1000000)
+    secondary = F.substring(F.col("text"), 1, 100)
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.nullif(primary, F.lit("")),
+                   F.nullif(secondary, F.lit("")),
+                   F.lit("")).alias("result"))
+
+
 def doc_chunks_legacy(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     starts, chunks = textfn.chunks_legacy_cols(F.col("text"))

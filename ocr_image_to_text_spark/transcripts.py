@@ -179,6 +179,9 @@ TIERS = {
     # scaling-efficiency measurement: 4x bench so per-leg compute dominates
     # the fixed per-action overhead of local mode (north_rule N-vs-4N proxy)
     "scale": dict(n_convs=80000, skew_convs=6, skew_len=5000),
+    # 4x scale: compute fully dominates the serial floor (BENCH.md Amdahl
+    # decomposition) — used only by the scaling harness
+    "scale4": dict(n_convs=320000, skew_convs=12, skew_len=5000),
 }
 
 ROLES = ["user", "assistant", "tool"]

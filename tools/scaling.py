@@ -39,9 +39,18 @@ sys.path.insert(0, REPO)
 
 
 def run_level(cpus: int, input_path: str, n_buckets: int, wave_size: int) -> dict:
+    """One leg, pinned to exactly `cpus` host CPUs via taskset.
+
+    Without pinning, a local[N] leg silently uses more than N cores — the
+    Python UDF workers and JVM GC/shuffle threads run beside the N task
+    slots — which inflates the small leg and corrupts the N-vs-4N ratio
+    (measured: an unpinned local[2] out-throughput-ed local[8] per slot).
+    Pinning the whole process tree makes "N" mean N cores, like an
+    executor's cgroup on a real cluster."""
     with tempfile.TemporaryDirectory(prefix=f"scale{cpus}_") as out:
         p = subprocess.run(
-            [sys.executable, os.path.join(REPO, "jobs", "extract.py"),
+            ["taskset", "-c", f"0-{cpus - 1}",
+             sys.executable, os.path.join(REPO, "jobs", "extract.py"),
              "--input", input_path, "--out", out, "--cpus", str(cpus),
              "--n-buckets", str(n_buckets), "--wave-size", str(wave_size)],
             capture_output=True, text=True, check=True, cwd=REPO)
@@ -49,7 +58,7 @@ def run_level(cpus: int, input_path: str, n_buckets: int, wave_size: int) -> dic
 
 
 def main() -> None:
-    tier = os.environ.get("SCALING_TIER", "bench")
+    tier = os.environ.get("SCALING_TIER", "scale")
     n = int(os.environ.get("SCALING_N", "8"))
     reps = int(os.environ.get("SCALING_REPS", "3"))
     n_buckets = int(os.environ.get("SCALING_BUCKETS", "32"))
