@@ -36,6 +36,30 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Session-scoped extraction cache: several queries (spans, stitch, chunks,
+# cube) consume the same per-turn extraction; persisting the SCALAR subset
+# once per (session, tier) means the UDF pass runs once per session instead
+# of once per query. Span arrays are deliberately not cached — they're
+# cheap JVM expressions over extracted_text, and materializing them in the
+# block store measured 3x GC wall at high concurrency.
+_EXT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _extracted(spark: SparkSession, sf_dir: str, variant: str = "v2") -> DataFrame:
+    from .operators.extract import span_cols
+
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), variant)
+    cached = _EXT_CACHE.get(key)
+    if cached is None:
+        scalar = extract_turns(_transcripts(spark, sf_dir), variant=variant) \
+            .drop("span_starts", "span_ends", "span_texts")
+        cached = scalar.persist()
+        _EXT_CACHE[key] = cached
+    starts, ends, texts = span_cols(F.col("extracted_text"))
+    return cached.withColumns({
+        "span_starts": starts, "span_ends": ends, "span_texts": texts})
+
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Re-spread under-partitioned inputs across the executor cores.
 
@@ -57,32 +81,27 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def extract_rollup(spark, sf_dir):
-    df = _transcripts(spark, sf_dir)
-    return extract_turns(df).select(
+    return _extracted(spark, sf_dir).select(
         "conv_id", "turn_idx", "kind", "extracted_text", "n_blocks_kept",
         "n_blocks_dropped", "chars_in", "chars_out", "table_flag")
 
 
 def extract_spans(spark, sf_dir):
-    df = _transcripts(spark, sf_dir)
-    return spans_table(extract_turns(df))
+    return spans_table(_extracted(spark, sf_dir))
 
 
 def extract_boxes_v1(spark, sf_dir):
-    df = _transcripts(spark, sf_dir)
-    return (extract_turns(df, variant="v1").filter(F.col("kind") == "boxes")
+    return (_extracted(spark, sf_dir, variant="v1").filter(F.col("kind") == "boxes")
             .select("conv_id", "turn_idx", "extracted_text"))
 
 
 def extract_boxes_v3(spark, sf_dir):
-    df = _transcripts(spark, sf_dir)
-    return (extract_turns(df, variant="v3").filter(F.col("kind") == "boxes")
+    return (_extracted(spark, sf_dir, variant="v3").filter(F.col("kind") == "boxes")
             .select("conv_id", "turn_idx", "extracted_text"))
 
 
 def extract_kind_metrics(spark, sf_dir):
-    df = _transcripts(spark, sf_dir)
-    return (extract_turns(df).groupBy("kind").agg(
+    return (_extracted(spark, sf_dir).groupBy("kind").agg(
         F.count("*").alias("n_turns"),
         F.sum("chars_in").alias("sum_chars_in"),
         F.sum("chars_out").alias("sum_chars_out"),
@@ -98,7 +117,7 @@ def conversation_stitch(spark, sf_dir, bucket: int = 1024):
     10^6-turn conversations); phase 2 merges ordered buckets. Never a
     single-task whole-conversation sort.
     """
-    ext = extract_turns(_transcripts(spark, sf_dir))
+    ext = _extracted(spark, sf_dir)
     b = ext.select(
         "conv_id", "turn_idx", "extracted_text",
         (F.col("turn_idx") / bucket).cast("int").alias("bkt"))
@@ -123,8 +142,7 @@ def conversation_stitch(spark, sf_dir, bucket: int = 1024):
 
 
 def boxes_table_flags(spark, sf_dir):
-    df = _transcripts(spark, sf_dir)
-    return (extract_turns(df).filter(F.col("kind") == "boxes")
+    return (_extracted(spark, sf_dir).filter(F.col("kind") == "boxes")
             .select("conv_id", "turn_idx", "table_flag"))
 
 
@@ -132,7 +150,7 @@ def chunks_modern(spark, sf_dir):
     """X3 chunker over extracted turn text (pandas UDF; rows-only check)."""
     from .operators.chunker import split_chunks_udf
 
-    ext = extract_turns(_transcripts(spark, sf_dir))
+    ext = _extracted(spark, sf_dir)
     return (ext.filter(F.length("extracted_text") > 0)
             .select("conv_id", "turn_idx",
                     F.posexplode(split_chunks_udf(F.col("extracted_text")))
@@ -307,7 +325,7 @@ def extract_metrics_cube(spark, sf_dir):
 
     Grouping-sets coverage (SURVEY §2.4 A12 uses pandas groupby slices;
     cube computes all slices in one shuffle)."""
-    ext = extract_turns(_transcripts(spark, sf_dir))
+    ext = _extracted(spark, sf_dir)
     return (ext.cube("kind", "table_flag")
             .agg(F.count("*").alias("n_turns"),
                  F.sum("chars_out").alias("sum_chars_out")))
