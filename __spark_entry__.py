@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boxes_v3": q.extract_boxes_v3,
         "extract_kind_metrics": q.extract_kind_metrics,
         "conversation_stitch": q.conversation_stitch,
+        "conversation_stitch_v1": q.conversation_stitch_v1,
+        "extract_flat": q.extract_flat,
         "boxes_table_flags": q.boxes_table_flags,
         "chunks_modern": q.chunks_modern,
         # --- documents analytics (SURVEY §2.8) ---
@@ -159,6 +161,11 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_g("extract")}') GROUP BY kind""",
         "conversation_stitch": f"""
             SELECT conv_id, stitched FROM read_parquet('{_g("stitch")}')""",
+        "conversation_stitch_v1": f"""
+            SELECT conv_id, stitched FROM read_parquet('{_g("stitch_v1")}')""",
+        "extract_flat": f"""
+            SELECT conv_id, turn_idx, flat_text
+            FROM read_parquet('{_g("flat")}')""",
         "boxes_table_flags": f"""
             SELECT conv_id, turn_idx, table_flag
             FROM read_parquet('{_g("extract")}') WHERE kind = 'boxes'""",

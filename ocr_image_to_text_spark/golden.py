@@ -70,6 +70,8 @@ def ensure_goldens(tier: str) -> dict[str, str]:
         "boxes_v1": golden_path(tier, "boxes_v1"),
         "boxes_v3": golden_path(tier, "boxes_v3"),
         "stitch": golden_path(tier, "stitch"),
+        "stitch_v1": golden_path(tier, "stitch_v1"),
+        "flat": golden_path(tier, "flat"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -79,7 +81,7 @@ def ensure_goldens(tier: str) -> dict[str, str]:
     tpath = ensure_transcripts(tier)
     table = _pq.read_table(tpath, columns=["conv_id", "turn_idx", "text", "tool"])
     convs: dict[str, list[tuple[int, str]]] = {}
-    rollup_rows, span_rows, v1_rows, v3_rows = [], [], [], []
+    rollup_rows, span_rows, v1_rows, v3_rows, flat_rows = [], [], [], [], []
     for conv_id, turn_idx, text, tool in zip(
         table.column("conv_id").to_pylist(),
         table.column("turn_idx").to_pylist(),
@@ -104,20 +106,37 @@ def ensure_goldens(tier: str) -> dict[str, str]:
                 rv = pyref.extract_turn(text, tool, variant=variant)
                 acc.append({"conv_id": conv_id, "turn_idx": turn_idx,
                             "extracted_text": rv["extracted_text"]})
+            # A5 flat concat over conf-filtered detections
+            import json as _json
+
+            boxes = _json.loads(tool).get("boxes") or []
+            flat_rows.append({
+                "conv_id": conv_id, "turn_idx": turn_idx,
+                "flat_text": pyref.flat_concat(pyref.conf_filter(boxes))})
 
     _write(paths["extract"], rollup_rows, ROLLUP_SCHEMA)
     _write(paths["spans"], span_rows, SPANS_SCHEMA)
     _write(paths["boxes_v1"], v1_rows, BOXES_VARIANT_SCHEMA)
     _write(paths["boxes_v3"], v3_rows, BOXES_VARIANT_SCHEMA)
 
-    # X11b conversation stitching golden (ocr_app/ui/cli.py:163-168)
+    _write(paths["flat"], flat_rows, pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", _I32), ("flat_text", pa.string())]))
+
+    # X11 conversation stitching goldens (v2: ocr_app/ui/cli.py:163-168;
+    # v1: src/core/ocr_engine.py:128)
+    stitch_schema = pa.schema([("conv_id", pa.string()), ("stitched", pa.string())])
     stitch_rows = [
         {"conv_id": cid,
          "stitched": pyref.stitch_pages_v2([t for _, t in sorted(turns)])}
         for cid, turns in sorted(convs.items())
     ]
-    _write(paths["stitch"], stitch_rows,
-           pa.schema([("conv_id", pa.string()), ("stitched", pa.string())]))
+    _write(paths["stitch"], stitch_rows, stitch_schema)
+    stitch_v1_rows = [
+        {"conv_id": cid,
+         "stitched": pyref.stitch_pages_v1([t for _, t in sorted(turns)])}
+        for cid, turns in sorted(convs.items())
+    ]
+    _write(paths["stitch_v1"], stitch_v1_rows, stitch_schema)
     return paths
 
 

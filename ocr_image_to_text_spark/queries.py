@@ -141,6 +141,61 @@ def conversation_stitch(spark, sf_dir, bucket: int = 1024):
     return p2.select("conv_id", stitched.alias("stitched"))
 
 
+def extract_flat(spark, sf_dir):
+    """A5 — flat ' '-join of conf-filtered detections in detection order
+    (ocr_core/easyocr_reader.py:22; no layout). Independent UDF; oracle =
+    pyref golden."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from .operators.extract import kind_col
+
+    @pandas_udf(StringType())
+    def flat_udf(tool: pd.Series) -> pd.Series:
+        out = []
+        for payload in tool.to_numpy():
+            try:
+                boxes = _json.loads(payload).get("boxes") or []
+            except (ValueError, TypeError):
+                boxes = []
+            out.append(" ".join(b[1] for b in boxes if b[2] > 0.3))
+        return pd.Series(out)
+
+    df = _transcripts(spark, sf_dir).withColumn("kind", kind_col())
+    return (df.filter(F.col("kind") == "boxes")
+            .select("conv_id", "turn_idx", flat_udf(F.col("tool")).alias("flat_text")))
+
+
+def conversation_stitch_v1(spark, sf_dir, bucket: int = 1024):
+    """X11a stitching (src/core/ocr_engine.py:128): accumulating
+    '--- PAGE {i+1} ---\\n{text}\\n\\n' — same two-phase ordered concat as
+    conversation_stitch, different envelope."""
+    ext = _extracted(spark, sf_dir)
+    b = ext.select(
+        "conv_id", "turn_idx", "extracted_text",
+        (F.col("turn_idx") / bucket).cast("int").alias("bkt"))
+    p1 = b.groupBy("conv_id", "bkt").agg(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "extracted_text"))).alias("arr"))
+    p2 = p1.groupBy("conv_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bkt", "arr"))),
+                lambda x: x["arr"],
+            )
+        ).alias("turns"))
+    stitched = F.array_join(
+        F.transform(
+            F.transform(F.col("turns"), lambda t: t["extracted_text"]),
+            lambda t, i: F.concat(F.lit("--- PAGE "), (i + 1).cast("string"),
+                                  F.lit(" ---\n"), t, F.lit("\n\n")),
+        ),
+        "",
+    )
+    return p2.select("conv_id", stitched.alias("stitched"))
+
+
 def boxes_table_flags(spark, sf_dir):
     return (_extracted(spark, sf_dir).filter(F.col("kind") == "boxes")
             .select("conv_id", "turn_idx", "table_flag"))
