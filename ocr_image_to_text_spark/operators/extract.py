@@ -47,12 +47,21 @@ RESULT_SCHEMA = StructType(
     ]
 )
 
-# Java-regex payload sniffers (JVM-side; semantics mirror pyref.classify_kind)
+# Java-regex payload sniffers (JVM-side; semantics mirror pyref.classify_kind).
+# Java's \s and \b are ASCII by default while Python's are Unicode — a
+# payload like '<\xa0p>' classified differently until the fuzz seam test
+# (tests/test_fuzz_seams.py) caught it. PY_WS is the exact character set
+# Python's str.isspace()/re \s matches; (?iU) makes Java's \b
+# Unicode-word-aware like Python's.
+PY_WS = (
+    " \\t\\n\\x0B\\f\\r\\x1C-\\x1F\\x85\\xA0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000"
+)
 HTML_SNIFF_JAVA = (
-    r"(?i)<\s*(?:!doctype|html|body|div|p|br|h[1-6]|ul|ol|li|table|nav|footer|"
+    rf"(?iU)<[{PY_WS}]*(?:!doctype|html|body|div|p|br|h[1-6]|ul|ol|li|table|nav|footer|"
     r"header|span|a|script|style|section|article|main)\b"
 )
-BOXES_SNIFF_JAVA = r"^\s*\{"
+BOXES_SNIFF_JAVA = rf"^[{PY_WS}]*\{{"
 
 
 def make_dispatch_udf(variant: str = "v2", geometry: str = "easy",
