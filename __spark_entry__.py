@@ -269,7 +269,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "qa_fallback_x15": r"""
             WITH s AS (SELECT doc_id,
-                string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) l
+                string_split(regexp_replace(coalesce(text, ''), '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) l
                 FROM documents),
             x AS (SELECT doc_id, l[i] sentence,
                          cast(len(list_filter(

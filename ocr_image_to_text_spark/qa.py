@@ -78,7 +78,9 @@ def x15_cols(text: Column, query: str = X15_QUERY) -> tuple[Column, Column]:
 
 
 def qa_fallback_x15_df(docs: DataFrame, query: str = X15_QUERY) -> DataFrame:
-    answer, conf = x15_cols(F.col("text"), query)
+    # NULL text → the canned no-answer row (split(NULL) would yield no
+    # sentences and the DuckDB unnest twin would drop the doc entirely)
+    answer, conf = x15_cols(F.coalesce(F.col("text"), F.lit("")), query)
     return docs.select(
         "doc_id", answer.alias("answer"),
         F.floor(conf * 1e6 + F.lit(0.5)).cast("long").alias("conf_x1e6"))

@@ -48,7 +48,18 @@ _EXT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def _extracted(spark: SparkSession, sf_dir: str, variant: str = "v2") -> DataFrame:
     from .operators.extract import span_cols
 
-    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), variant)
+    app_id = spark.sparkContext.applicationId
+    # Evict entries from previous sessions: their persisted blocks are gone
+    # with the old context, and long-lived processes cycling sessions would
+    # otherwise accumulate dead entries (and live ones leak block-store
+    # memory across tiers a restarted session never touches again).
+    for k in [k for k in _EXT_CACHE if k[0] != app_id]:
+        try:
+            _EXT_CACHE[k].unpersist()
+        except Exception:
+            pass  # old context already stopped
+        del _EXT_CACHE[k]
+    key = (app_id, os.path.normpath(sf_dir), variant)
     cached = _EXT_CACHE.get(key)
     if cached is None:
         scalar = extract_turns(_transcripts(spark, sf_dir), variant=variant) \
@@ -268,7 +279,9 @@ def doc_engine_fallback(spark, sf_dir):
     outputs: primary = text after the 100-char mark (empty for short
     docs), secondary = first 100 chars, tertiary = literal fallback."""
     docs = _docs(spark, sf_dir)
-    primary = F.substring(F.col("text"), 101, 1000000)
+    # suffix to end-of-string (no silent length cap — matches the oracle's
+    # two-argument substr(text, 101))
+    primary = F.expr("substring(text, 101)")
     secondary = F.substring(F.col("text"), 1, 100)
     return docs.select(
         "doc_id",
