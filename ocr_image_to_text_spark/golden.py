@@ -174,9 +174,7 @@ def ensure_avg_conf_golden(sf_dir: str) -> str:
         if pyref.classify_kind(text, tool) != "boxes":
             continue
         boxes = (json.loads(tool).get("boxes") or [])
-        avg = pyref.avg_confidence(boxes)
-        if avg is None:
-            continue
+        avg = pyref.avg_confidence(boxes)  # 0.0 when nothing kept (A9)
         rows.append({"conv_id": conv_id, "turn_idx": turn_idx,
                      "avg_conf_x1e9": int(math.floor(avg * 1e9 + 0.5))})
     _write(path, rows, AVG_CONF_SCHEMA)

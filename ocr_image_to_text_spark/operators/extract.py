@@ -30,6 +30,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     BooleanType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -38,12 +39,17 @@ from pyspark.sql.types import (
 from .htmlx import clean_block, extract_html_one
 from .layout import extract_boxes_json
 
+# flat_text (A5) and avg_conf_x1e9 (A9) ride along from the same JSON parse
+# — one Arrow pass serves extract_rollup, extract_flat AND boxes_avg_conf
+# via the session extraction cache (null for non-box kinds).
 RESULT_SCHEMA = StructType(
     [
         StructField("extracted_text", StringType()),
         StructField("n_blocks_kept", IntegerType()),
         StructField("n_blocks_dropped", IntegerType()),
         StructField("table_flag", BooleanType()),
+        StructField("flat_text", StringType()),
+        StructField("avg_conf_x1e9", LongType()),
     ]
 )
 
@@ -76,12 +82,13 @@ def make_dispatch_udf(variant: str = "v2", geometry: str = "easy",
             if k == "boxes":
                 rows.append(extract_boxes_json(o, variant, geometry, conf_threshold))
             elif k == "html":
-                rows.append((*extract_html_one(t or ""), False))
+                rows.append((*extract_html_one(t or ""), False, None, None))
             else:
                 clean = clean_block(t or "")  # X1, Python `re`
-                rows.append((clean, 1 if clean else 0, 0, False))
+                rows.append((clean, 1 if clean else 0, 0, False, None, None))
         return pd.DataFrame(rows, columns=[
-            "extracted_text", "n_blocks_kept", "n_blocks_dropped", "table_flag"])
+            "extracted_text", "n_blocks_kept", "n_blocks_dropped", "table_flag",
+            "flat_text", "avg_conf_x1e9"])
 
     return extract_dispatch_udf
 
@@ -132,12 +139,14 @@ def extract_turns(
     geometry: str = "easy",
     conf_threshold: float = 0.3,
     partitions: int | None = None,
+    extras: bool = False,
 ) -> DataFrame:
     """Per-turn extraction rollup.
 
     Output: (conv_id, turn_idx, kind, extracted_text, n_blocks_kept,
     n_blocks_dropped, table_flag, chars_in, chars_out, span_starts,
-    span_ends, span_texts).
+    span_ends, span_texts) [+ flat_text, avg_conf_x1e9 when extras=True —
+    the A5/A9 box products the dispatch UDF computes from the same parse].
 
     Turns are independent, so the pre-UDF repartition salts by
     (conv_id, turn_idx) — a 10^6-turn conversation spreads over all tasks
@@ -154,10 +163,10 @@ def extract_turns(
     out = base.withColumn(
         "r", dispatch(F.col("kind"), F.col("text"), F.col("tool")))
     starts, ends, texts = span_cols(F.col("r.extracted_text"))
-    return out.select(
-        "conv_id",
-        "turn_idx",
-        "kind",
+    cols = [
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("kind"),
         F.col("r.extracted_text").alias("extracted_text"),
         F.col("r.n_blocks_kept").alias("n_blocks_kept"),
         F.col("r.n_blocks_dropped").alias("n_blocks_dropped"),
@@ -168,7 +177,11 @@ def extract_turns(
         starts.alias("span_starts"),
         ends.alias("span_ends"),
         texts.alias("span_texts"),
-    )
+    ]
+    if extras:
+        cols += [F.col("r.flat_text").alias("flat_text"),
+                 F.col("r.avg_conf_x1e9").alias("avg_conf_x1e9")]
+    return out.select(*cols)
 
 
 def spans_table(extracted: DataFrame) -> DataFrame:

@@ -20,6 +20,7 @@ previous break decision → inherently sequential scan per turn.
 from __future__ import annotations
 
 import json
+import math
 
 import numpy as np
 
@@ -118,22 +119,35 @@ def table_flag_of(all_polys: np.ndarray) -> bool:
 
 
 def extract_boxes_json(payload: str, variant: str = "v2", geometry: str = "easy",
-                       conf_threshold: float = 0.3) -> tuple[str, int, int, bool]:
-    """Parse a boxes payload and run conf filter (F1) + layout (A2) + A13.
+                       conf_threshold: float = 0.3) -> tuple[str, int, int, bool, str, int]:
+    """Parse a boxes payload ONCE and derive every per-turn box product:
+    conf filter (F1) + layout (A2) + A13 table flag + A5 flat concat + A9
+    average confidence (`float(np.mean(confidences)) if confidences else
+    0.0`, ocr_core/easyocr_reader.py:22-24 — restated as the sequential
+    sum/len fold, scaled to int).
 
-    Returns (extracted_text, n_tokens_kept, n_tokens_dropped, table_flag).
+    Returns (extracted_text, n_tokens_kept, n_tokens_dropped, table_flag,
+    flat_text, avg_conf_x1e9).
     """
     try:
         payload_obj = json.loads(payload)
     except (ValueError, TypeError):
-        return "", 0, 0, False
+        return "", 0, 0, False, "", 0
     boxes = payload_obj.get("boxes") or []
     n_total = len(boxes)
     kept = [b for b in boxes if b[2] > conf_threshold]
     n_kept = len(kept)
     tflag = table_flag_of(np.asarray([b[0] for b in boxes], dtype=np.float64)) if n_total else False
+    flat = " ".join(b[1] for b in kept)
+    if n_kept:
+        total = 0.0
+        for b in kept:
+            total += float(b[2])
+        avg_x1e9 = int(math.floor(total / n_kept * 1e9 + 0.5))
+    else:
+        avg_x1e9 = 0
     if n_kept == 0:
-        return "", 0, n_total, tflag
+        return "", 0, n_total, tflag, flat, avg_x1e9
     polys = np.asarray([b[0] for b in kept], dtype=np.float64)
     texts = [b[1] for b in kept]
     if variant == "v1":
@@ -142,4 +156,4 @@ def extract_boxes_json(payload: str, variant: str = "v2", geometry: str = "easy"
         text = layout_v3(polys, texts)
     else:
         text = layout_v2(polys, texts, float(payload_obj.get("h", 0)), geometry)
-    return text, n_kept, n_total - n_kept, tflag
+    return text, n_kept, n_total - n_kept, tflag, flat, avg_x1e9

@@ -62,17 +62,18 @@ def flat_concat(boxes: list) -> str:
     return " ".join(b[1] for b in boxes)
 
 
-def avg_confidence(boxes: list, threshold: float = 0.3) -> float | None:
-    """A9 — ocr_core/easyocr_reader.py:23: mean confidence of kept tokens.
+def avg_confidence(boxes: list, threshold: float = 0.3) -> float:
+    """A9 — ocr_core/easyocr_reader.py:24: mean confidence of kept tokens,
+    0.0 when nothing is kept (`float(np.mean(confidences)) if confidences
+    else 0.0` — there is no early return; every turn reports a value).
 
     The reference uses np.mean; the engine semantic is restated as the
     left-to-right sum/len fold (identical to the last ulp for the
     magnitudes involved; the oracle defines truth, and both
-    implementations fold sequentially). None when nothing is kept
-    (easyocr_reader returns early on an empty filtered list)."""
+    implementations fold sequentially)."""
     kept = conf_filter(boxes, threshold)
     if not kept:
-        return None
+        return 0.0
     total = 0.0
     for b in kept:
         total += float(b[2])

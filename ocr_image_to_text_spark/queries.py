@@ -62,7 +62,8 @@ def _extracted(spark: SparkSession, sf_dir: str, variant: str = "v2") -> DataFra
     key = (app_id, os.path.normpath(sf_dir), variant)
     cached = _EXT_CACHE.get(key)
     if cached is None:
-        scalar = extract_turns(_transcripts(spark, sf_dir), variant=variant) \
+        scalar = extract_turns(_transcripts(spark, sf_dir), variant=variant,
+                               extras=True) \
             .drop("span_starts", "span_ends", "span_texts")
         cached = scalar.persist()
         _EXT_CACHE[key] = cached
@@ -154,29 +155,12 @@ def conversation_stitch(spark, sf_dir, bucket: int = 1024):
 
 def extract_flat(spark, sf_dir):
     """A5 — flat ' '-join of conf-filtered detections in detection order
-    (ocr_core/easyocr_reader.py:22; no layout). Independent UDF; oracle =
-    pyref golden."""
-    import json as _json
-
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import StringType
-
-    from .operators.extract import kind_col
-
-    @pandas_udf(StringType())
-    def flat_udf(tool: pd.Series) -> pd.Series:
-        out = []
-        for payload in tool.to_numpy():
-            try:
-                boxes = _json.loads(payload).get("boxes") or []
-            except (ValueError, TypeError):
-                boxes = []
-            out.append(" ".join(b[1] for b in boxes if b[2] > 0.3))
-        return pd.Series(out)
-
-    df = _transcripts(spark, sf_dir).withColumn("kind", kind_col())
-    return (df.filter(F.col("kind") == "boxes")
-            .select("conv_id", "turn_idx", flat_udf(F.col("tool")).alias("flat_text")))
+    (ocr_core/easyocr_reader.py:22; no layout). Served from the session
+    extraction cache — the fused dispatch UDF parses the boxes JSON once
+    per turn per session for rollup, flat AND avg-conf. Oracle = pyref
+    golden."""
+    return (_extracted(spark, sf_dir).filter(F.col("kind") == "boxes")
+            .select("conv_id", "turn_idx", "flat_text"))
 
 
 def conversation_stitch_v1(spark, sf_dir, bucket: int = 1024):
@@ -349,43 +333,18 @@ def doc_fingerprints(spark, sf_dir):
 
 
 def boxes_avg_conf(spark, sf_dir):
-    """A9 — mean kept-token confidence per boxes turn.
+    """A9 — mean kept-token confidence per boxes turn; 0 when no token
+    survives the filter (ocr_core/easyocr_reader.py:24 — np.mean over kept
+    confidences, else 0.0; no early return, every boxes turn reports).
 
-    Pandas-UDF JSON parse + sequential sum/len fold; the oracle is the
-    pyref golden (ensure_avg_conf_golden), never this UDF."""
-    import json as _json
-    import math as _math
-
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
-
+    Served from the session extraction cache (same fused-UDF JSON parse as
+    the rollup); the oracle is the pyref golden (ensure_avg_conf_golden),
+    never this UDF."""
     from .golden import ensure_avg_conf_golden
-    from .operators.extract import kind_col
 
     ensure_avg_conf_golden(sf_dir)
-
-    @pandas_udf(LongType())
-    def avg_conf_udf(tool: pd.Series) -> pd.Series:
-        out = []
-        for payload in tool.to_numpy():
-            try:
-                boxes = _json.loads(payload).get("boxes") or []
-            except (ValueError, TypeError):
-                boxes = []
-            kept = [b[2] for b in boxes if b[2] > 0.3]
-            if not kept:
-                out.append(None)
-                continue
-            total = 0.0
-            for c in kept:
-                total += float(c)
-            out.append(int(_math.floor(total / len(kept) * 1e9 + 0.5)))
-        return pd.Series(out, dtype="Int64")
-
-    df = _transcripts(spark, sf_dir).withColumn("kind", kind_col())
-    return (df.filter(F.col("kind") == "boxes")
-            .select("conv_id", "turn_idx", avg_conf_udf(F.col("tool")).alias("avg_conf_x1e9"))
-            .filter(F.col("avg_conf_x1e9").isNotNull()))
+    return (_extracted(spark, sf_dir).filter(F.col("kind") == "boxes")
+            .select("conv_id", "turn_idx", "avg_conf_x1e9"))
 
 
 def extract_metrics_cube(spark, sf_dir):

@@ -28,10 +28,13 @@ def test_random_payloads_match_oracle(variant):
         obj = json.loads(payload)
         kept = pyref.conf_filter(obj["boxes"])
         want = pyref.format_with_layout(kept, obj["h"], variant)
-        got, n_kept, n_dropped, _tflag = extract_boxes_json(payload, variant)
+        got, n_kept, n_dropped, _tflag, flat, avg_x1e9 = extract_boxes_json(payload, variant)
         assert got == want
         assert n_kept == len(kept)
         assert n_dropped == len(obj["boxes"]) - len(kept)
+        assert flat == pyref.flat_concat(kept)
+        import math
+        assert avg_x1e9 == int(math.floor(pyref.avg_confidence(obj["boxes"]) * 1e9 + 0.5))
 
 
 @pytest.mark.parametrize("case", BOX_FIXTURES)

@@ -85,7 +85,11 @@ def test_layout_invariant_under_permutation(boxes, rnd, variant):
     base = extract_boxes_json(_payload(boxes), variant=variant)
     shuffled = list(boxes)
     rnd.shuffle(shuffled)
-    assert extract_boxes_json(_payload(shuffled), variant=variant) == base
+    got = extract_boxes_json(_payload(shuffled), variant=variant)
+    # only the layout products are permutation-invariant: flat_text is
+    # detection-order by definition (A5) and avg's float fold is
+    # order-sensitive in the last ulp
+    assert got[:4] == base[:4]
 
 
 @given(_boxes_strategy(), st.sampled_from(["v1", "v2", "v3"]))
