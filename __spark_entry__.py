@@ -169,6 +169,9 @@ def oracle_sql() -> dict[str, str]:
         "boxes_table_flags": f"""
             SELECT conv_id, turn_idx, table_flag
             FROM read_parquet('{_g("extract")}') WHERE kind = 'boxes'""",
+        "chunks_modern": f"""
+            SELECT conv_id, turn_idx, chunk_idx, chunk
+            FROM read_parquet('{_g("chunks")}')""",
         # --- documents analytics: real SQL restatements ---
         "doc_entities": r"""
             SELECT doc_id, 'date' entity_type,

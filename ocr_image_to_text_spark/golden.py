@@ -144,6 +144,43 @@ def ensure_goldens_for_sf_dir(sf_dir: str) -> dict[str, str]:
     return ensure_goldens(tier_for_sf_dir(sf_dir))
 
 
+CHUNKS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", _I32),
+    ("chunk_idx", _I32),
+    ("chunk", pa.string()),
+])
+
+
+def ensure_chunks_golden(sf_dir: str) -> str:
+    """X3 golden: pyref.split_text_into_chunks over each non-empty per-turn
+    extraction (ocr_app/utils/text_utils.py:36-90 semantics, incl. the
+    re-cleaning prelude). Derived from the extract golden so the chunk
+    oracle and the rollup oracle share one pyref extraction pass."""
+    import pyarrow.parquet as _pq
+
+    tier = tier_for_sf_dir(sf_dir)
+    path = golden_path(tier, "chunks")
+    if os.path.exists(path):
+        return path
+    extract_path = ensure_goldens(tier)["extract"]
+    table = _pq.read_table(extract_path,
+                           columns=["conv_id", "turn_idx", "extracted_text"])
+    rows = []
+    for conv_id, turn_idx, text in zip(
+        table.column("conv_id").to_pylist(),
+        table.column("turn_idx").to_pylist(),
+        table.column("extracted_text").to_pylist(),
+    ):
+        if not text:
+            continue
+        for i, chunk in enumerate(pyref.split_text_into_chunks(text)):
+            rows.append({"conv_id": conv_id, "turn_idx": turn_idx,
+                         "chunk_idx": i, "chunk": chunk})
+    _write(path, rows, CHUNKS_SCHEMA)
+    return path
+
+
 AVG_CONF_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", _I32),

@@ -2,8 +2,12 @@
 
 The greedy word-packing with suffix overlap (ocr_app/utils/text_utils.py:
 36-90) is inherently sequential per document, so it runs in an Arrow batch
-UDF (Python per doc, never per Spark row via the interpreter loop). The
-implementation is verified against pyref.split_text_into_chunks by tests.
+UDF (Python per doc, never per Spark row via the interpreter loop).
+
+Verified against pyref.split_text_into_chunks two ways:
+tests/test_chunker_equiv.py (hypothesis property test of split_chunks_one
+plus an end-to-end Spark-UDF run over the t1 extraction), and the driver
+oracle (chunks_modern vs golden.ensure_chunks_golden parquet).
 """
 
 from __future__ import annotations

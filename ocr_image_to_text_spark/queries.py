@@ -197,9 +197,15 @@ def boxes_table_flags(spark, sf_dir):
 
 
 def chunks_modern(spark, sf_dir):
-    """X3 chunker over extracted turn text (pandas UDF; rows-only check)."""
+    """X3 chunker over extracted turn text (pandas UDF); oracle = pyref
+    split_text_into_chunks materialized to golden parquet
+    (golden.ensure_chunks_golden)."""
+    from .golden import ensure_chunks_golden
     from .operators.chunker import split_chunks_udf
+    from .transcripts import tier_for_sf_dir
 
+    if tier_for_sf_dir(sf_dir) != "bench":
+        ensure_chunks_golden(sf_dir)
     ext = _extracted(spark, sf_dir)
     return (ext.filter(F.length("extracted_text") > 0)
             .select("conv_id", "turn_idx",
