@@ -297,14 +297,20 @@ def doc_keyword_score_x5(spark, sf_dir):
     return docs.select("doc_id", (wm * 5 + pm * 10).cast("long").alias("score_x10"))
 
 
-def doc_topk_keyword_x6(spark, sf_dir):
+def doc_topk_keyword_x6(spark, sf_dir, k: int = 3):
+    """X6 top-k. orderBy().limit(k) compiles to TakeOrderedAndProject —
+    per-partition top-k + driver merge of k·p rows, never the
+    single-partition global-window sort of the whole corpus. The rank
+    window runs AFTER the limit, over ≤ k rows."""
     docs = _docs(spark, sf_dir)
     score = textfn.keyword_score_x6_col(F.col("text"), KEYWORD_QUERY_WORDS)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (docs.select("doc_id", score.alias("score"))
-            .filter(F.col("score") > 0)
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= 3))
+    order = [F.desc("score"), F.asc("doc_id")]
+    top = (docs.select("doc_id", score.alias("score"))
+           .filter(F.col("score") > 0)
+           .orderBy(*order)
+           .limit(k))
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long"))
 
 
 def doc_sentences(spark, sf_dir):
@@ -366,20 +372,25 @@ def extract_metrics_cube(spark, sf_dir):
 
 def doc_keyword_topk_x5(spark, sf_dir, k: int = 3):
     """Full X5 (ocr_app/utils/text_utils.py:117-155): normalized score with
-    the all-zero fallback (top-k at score 0.1)."""
+    the all-zero fallback (top-k at score 0.1).
+
+    The normalization max is a map-side-partial agg broadcast back onto the
+    scan, and the top-k is orderBy().limit(k) (TakeOrderedAndProject) — no
+    empty-partitionBy window shuffling the corpus to one task."""
     docs = _docs(spark, sf_dir)
     score = textfn.keyword_score_x5_col(F.col("text"), KEYWORD_QUERY_WORDS)
-    w_all = Window.partitionBy()
     scored = docs.select("doc_id", score.alias("raw"))
-    mx = F.max("raw").over(w_all)
-    norm = F.when(mx > 0, F.col("raw") / mx).otherwise(F.lit(0.1))
-    ranked = (scored.withColumn("norm", norm)
-              .withColumn("rank", F.row_number().over(
-                  Window.orderBy(F.desc("norm"), F.asc("doc_id"))).cast("long"))
-              .filter(F.col("rank") <= k))
-    return ranked.select(
-        "doc_id", "rank",
-        F.floor(F.col("norm") * 1e6 + F.lit(0.5)).cast("long").alias("score_x1e6"))
+    mx = scored.agg(F.max("raw").alias("mx"))
+    norm = F.when(F.col("mx") > 0, F.col("raw") / F.col("mx")).otherwise(F.lit(0.1))
+    order = [F.desc("norm"), F.asc("doc_id")]
+    top = (scored.crossJoin(F.broadcast(mx))
+           .withColumn("norm", norm)
+           .orderBy(*order)
+           .limit(k))
+    return (top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long"))
+        .select("doc_id", "rank",
+                F.floor(F.col("norm") * 1e6 + F.lit(0.5)).cast("long").alias("score_x1e6")))
 
 
 def doc_txt_envelope(spark, sf_dir):
