@@ -56,66 +56,59 @@ def cosine_topk(emb: DataFrame, n_queries: int = 20, k: int = 3) -> DataFrame:
     )
 
 
-def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """Near-duplicate pairs by cosine (embedding near-dup detection).
+def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.35,
+                     n_blocks: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by exact all-pairs cosine — fully distributed
+    block join, no driver collect and no full-corpus broadcast.
 
-    All-pairs is inherently O(n²); the executor-side work is a blocked
-    matrix product in a mapInPandas UDF against a broadcast of the (small)
-    full matrix — the classic broadcast-the-small-side pattern. The dot
-    product accumulates dimension-by-dimension (sequential fold), so every
-    double is bit-identical to the SQL `aggregate(zip_with(...))` fold the
-    DuckDB oracle mirrors; rounding/threshold stay in Spark expressions.
-    At 10^9-vector scale the broadcast no longer fits and lsh_bucket_topk's
-    bucket join is the supported path.
+    Vectors are hashed into B blocks; every unordered block pair (i,j),
+    i ≤ j, becomes one equi-join key. A vector in block k is replicated to
+    keys (k, j≥k) on the left and (i≤k, k) on the right, so each vector
+    pair meets on exactly one key (in-block duplicates removed by the
+    vec_a < vec_b filter). Shuffle volume is O(n·B); per-task state is two
+    ~n/B vector slices — tune n_blocks to the executor memory budget.
+
+    Exact all-pairs is inherently O(n²) compute at any scale; this
+    operator is the exact/verification path, and lsh_bucket_topk's
+    hyperplane-bucket join is the approximate path when O(n²) itself is
+    unaffordable.
+
+    The cosine is the element-sequential JVM fold (`aggregate(zip_with)`)
+    — bit-identical to the DuckDB oracle's generate_series fold — rounded
+    to 9 decimals before thresholding.
     Output: (vec_a, vec_b, cos_x1e9), vec_a < vec_b.
     """
-    import numpy as np
-
     spark = emb.sparkSession
-    src = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    pdf = src.toPandas()
-    ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)
-    M = np.stack(pdf["e"].to_numpy())  # (N, D) float64
-    D = M.shape[1]
-
-    def _fold_rows(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
-        # sequential per-dim accumulation == left-to-right double fold
-        acc = np.zeros((A.shape[0], B.shape[0]))
-        for d in range(D):
-            acc += A[:, d:d + 1] * B[:, d][None, :]
-        return acc
-
-    def _fold_self(A: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(A.shape[0])
-        for d in range(D):
-            acc += A[:, d] * A[:, d]
-        return acc
-
-    norms_all = np.sqrt(_fold_self(M))
-    bc = spark.sparkContext.broadcast((ids_all, M, norms_all))
-
-    def gen(batches):
-        import pandas as pd
-
-        ids, Mb, norms = bc.value
-        for batch in batches:
-            if not len(batch):
-                continue
-            a_ids = batch["vec_id"].to_numpy(dtype=np.int64)
-            A = np.stack(batch["e"].to_numpy())
-            dot = _fold_rows(A, Mb)
-            cos = dot / (np.sqrt(_fold_self(A))[:, None] * norms[None, :])
-            ia, ib = np.nonzero((a_ids[:, None] < ids[None, :])
-                                & (cos >= threshold - 1e-9))
-            yield pd.DataFrame({
-                "vec_a": a_ids[ia], "vec_b": ids[ib], "cos": cos[ia, ib]})
-
-    pairs = src.repartition(emb.sparkSession.sparkContext.defaultParallelism) \
-        .mapInPandas(gen, "vec_a long, vec_b long, cos double")
+    B = n_blocks or min(spark.sparkContext.defaultParallelism, 32)
+    base = with_norm(emb).select(
+        "vec_id", "_e", "_norm",
+        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("blk"))
+    a = base.select(
+        F.col("blk").alias("pi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("pj"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("_e").alias("_ea"), F.col("_norm").alias("_na"))
+    b = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pi"),
+        F.col("blk").alias("pj"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("_e").alias("_eb"), F.col("_norm").alias("_nb"))
+    # Cross-block keys (pi < pj) meet each unordered pair exactly once in
+    # arbitrary id order (blocks are hash-assigned); in-block keys (pi ==
+    # pj) meet it twice, deduped by the id inequality. The output order is
+    # canonicalized afterwards — cosine is symmetric, so the swap is free.
+    joined = (
+        a.join(b, ["pi", "pj"])
+        .filter((F.col("pi") != F.col("pj"))
+                | (F.col("vec_a") < F.col("vec_b")))
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .withColumn("cos_r", F.round(
+            _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")), 9))
+    )
     return (
-        pairs.withColumn("cos_r", F.round(F.col("cos"), 9))
-        .filter(F.col("cos_r") >= threshold)
-        .select("vec_a", "vec_b",
+        joined.filter(F.col("cos_r") >= threshold)
+        .select(F.least("vec_a", "vec_b").alias("vec_a"),
+                F.greatest("vec_a", "vec_b").alias("vec_b"),
                 F.floor(F.col("cos_r") * 1e9 + F.lit(0.5)).cast("long").alias("cos_x1e9"))
     )
 
