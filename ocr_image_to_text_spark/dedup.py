@@ -3,10 +3,12 @@
 Scale design (100 TB / 10^9 docs):
   * exact:   one shuffle on the content hash; map-side partial counts.
   * n-gram Jaccard: inverted-index join on shingles (pairs sharing >= 1
-    shingle), never a cross join — candidate set is bounded by shingle
-    co-occurrence, and AQE skew-join splits hot shingles. A document
-    frequency cap (drop shingles appearing in > df_cap docs) bounds the
-    worst-case join fan-out at corpus scale.
+    shingle), never a cross join. A document-frequency cap (drop shingles
+    appearing in > df_cap docs FROM THE INDEX ONLY) bounds the worst-case
+    join fan-out at corpus scale to df_cap²/2 per shingle; Jaccard is then
+    verified exactly on the full shingle sets, so the cap affects recall
+    for hot-shingle-only pairs, never reported values. AQE skew-join
+    splits what remains.
   * MinHash+LSH: k lexicographic-min md5 signatures → b bands of r rows →
     bucket self-join on band key (equi-join, shuffle on band hash) →
     verify candidates with true Jaccard. Cost is O(candidates), not O(n²).
@@ -38,46 +40,64 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+def shingle_array(width: int = SHINGLE_WIDTH):
+    """Distinct word n-gram shingle set of `text` as an array column."""
     words = F.split(F.trim(F.col("text")), r"\s+")
-    sh = F.transform(
+    return F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - width + 1, F.lit(1))),
         lambda i: F.array_join(F.slice(words, i, width), " "),
-    )
+    ))
+
+
+def shingles(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    return docs.select("doc_id", F.explode(shingle_array(width)).alias("shingle"))
+
+
+def ngram_candidates(docs: DataFrame, df_cap: int | None) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) sharing ≥ 1 non-hot shingle.
+
+    The inverted-index self-join fans out quadratically in a shingle's
+    document frequency, so shingles appearing in > df_cap docs (stop-word
+    n-grams at corpus scale) are dropped from the INDEX ONLY — candidate
+    count per shingle is then ≤ df_cap·(df_cap−1)/2. Verification uses the
+    full shingle sets, so Jaccard values are exact; the cap costs recall
+    only for pairs whose every common shingle is hot (near-dups virtually
+    always share a rarer shingle).
+    """
+    sh = shingles(docs)
+    if df_cap is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > df_cap)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     return (
-        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold_x1000: int = 100,
-                        df_cap: int | None = None) -> DataFrame:
-    """Candidate pairs via inverted-index join; exact Jaccard verify.
+                        df_cap: int | None = 100) -> DataFrame:
+    """Candidate pairs via df-capped inverted-index join; exact Jaccard
+    verify against the FULL shingle sets (array_intersect — the cap never
+    changes a reported value, only bounds candidate generation).
 
-    Output: (doc_a, doc_b, jacc_x1000) with doc_a < doc_b. Pairs with zero
-    shared shingles have Jaccard 0, so the inverted index loses nothing.
+    Output: (doc_a, doc_b, jacc_x1000) with doc_a < doc_b.
     """
-    sh = shingles(docs).cache()
-    if df_cap is not None:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > df_cap)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    common = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    base = docs.select("doc_id", shingle_array().alias("shs"))
+    cand = ngram_candidates(docs, df_cap)
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_common = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
     j = (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                    .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("n_common", n_common)
         .withColumn(
             "jacc_x1000",
             F.floor(F.lit(1000.0) * F.col("n_common")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("long"),
+                    / (F.size("shs_a") + F.size("shs_b") - F.col("n_common"))).cast("long"),
         )
     )
     return (
@@ -109,14 +129,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
     scale the result is a (recall<1) subset of ngram_jaccard_pairs.
     """
     r = num_hashes // bands
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    sh_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - SHINGLE_WIDTH + 1, F.lit(1))),
-            lambda i: F.array_join(F.slice(words, i, SHINGLE_WIDTH), " "),
-        )
-    )
-    base = docs.select("doc_id", sh_arr.alias("shs"))
+    base = docs.select("doc_id", shingle_array().alias("shs"))
     sig = base.select("doc_id", *minhash_signature_cols(num_hashes)(F.col("shs")))
     band_rows = None
     for b in range(bands):

@@ -426,7 +426,11 @@ def dedup_exact(spark, sf_dir):
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold_x1000=100)
+    # df_cap=100 bounds inverted-index fan-out (max shingle df at the
+    # correctness tiers is 7, so the cap is non-binding there and the
+    # uncapped DuckDB oracle stays exact)
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold_x1000=100,
+                                     df_cap=100)
 
 
 def dedup_minhash_lsh(spark, sf_dir):

@@ -33,6 +33,39 @@ def test_salted_repartition_spreads_skewed_conversation(spark):
     assert dist1 == 1
 
 
+def test_ngram_df_cap_bounds_hot_shingle_fanout(spark):
+    """A stop-word shingle present in every doc must not explode the
+    inverted-index join: with df_cap the candidate count is bounded by the
+    true near-dup structure, and qualifying pairs (which share rarer
+    shingles too) are still found with exact Jaccard values."""
+    from ocr_image_to_text_spark import dedup
+
+    n = 60
+    hot = "the quick fox"  # one trigram shared by ALL docs
+    rows = []
+    for i in range(n):
+        # pairs (2k, 2k+1) are near-dups; distinct tail breaks other overlap
+        body = f"alpha{i // 2} beta{i // 2} gamma{i // 2} delta{i // 2}"
+        rows.append((i, f"{hot} {body} tail{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.ngram_candidates(docs, df_cap=None).count()
+    capped = dedup.ngram_candidates(docs, df_cap=10).count()
+    assert uncapped == n * (n - 1) // 2      # hot shingle → all-pairs blowup
+    assert capped == n // 2                  # only the true near-dup pairs
+
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold_x1000=100, df_cap=10)
+    got = {(r.doc_a, r.doc_b): r.jacc_x1000 for r in pairs.collect()}
+    assert set(got) == {(2 * k, 2 * k + 1) for k in range(n // 2)}
+    # Jaccard is computed on FULL sets (incl. the hot shingle): the two
+    # docs of a pair share all shingles except those touching the distinct
+    # tail word — values must match an uncapped run exactly.
+    unc = {(r.doc_a, r.doc_b): r.jacc_x1000
+           for r in dedup.ngram_jaccard_pairs(docs, threshold_x1000=100,
+                                              df_cap=None).collect()}
+    assert got == unc
+
+
 def test_oversized_payload_cap_logged_not_silent(spark, tmp_path):
     tpath = ensure_transcripts("t1")
     out = str(tmp_path / "capped")
