@@ -126,6 +126,22 @@ n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) nrm FROM b
 """
 
 
+def _lsh_sig_sql(dim: int = 64, n_planes: int = 8) -> str:
+    """DuckDB restatement of the LSH bucket signature: the hyperplanes are
+    deterministic md5 material (similarity._hyperplanes), inlined as list
+    literals; the projection is rounded to 9 decimals before the sign test
+    on both sides so float-fold order can never flip a bit."""
+    from ocr_image_to_text_spark.similarity import _hyperplanes
+
+    bits = []
+    for plane in _hyperplanes(dim, n_planes):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        proj = (f"round(list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> e[i] * ({lit})[i])), 9)")
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_image_to_text_spark.dedup import simhash_expr_sql
 
@@ -381,6 +397,20 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_r DESC, neighbor_id) rank FROM j)
             WHERE rank <= 3""",
+        "ann_lsh_topk": f"""
+            WITH {_EMB_NORM},
+            sig AS (SELECT vec_id, e, nrm, {_lsh_sig_sql()} bucket FROM n),
+            j AS (SELECT q.vec_id query_id, b.vec_id neighbor_id,
+                    round(list_sum(list_transform(generate_series(1, len(b.e)),
+                          i -> b.e[i] * q.e[i])) / (b.nrm * q.nrm), 9) cos_r
+                  FROM sig b JOIN sig q ON b.bucket = q.bucket
+                  WHERE q.vec_id < 20 AND b.vec_id != q.vec_id)
+            SELECT cast(query_id as bigint) query_id, cast(rank as bigint) rank,
+                   cast(neighbor_id as bigint) neighbor_id,
+                   cast(floor(cos_r * 1000000000 + 0.5) as bigint) cos_x1e9
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_r DESC, neighbor_id) rank FROM j)
+            WHERE rank <= 3""",
         "emb_dup_pairs": f"""
             WITH {_EMB_NORM},
             j AS (SELECT a.vec_id va, b.vec_id vb,
@@ -402,7 +432,7 @@ def oracle_sql() -> dict[str, str]:
                 THEN 1 ELSE 0 END brk FROM events)
             SELECT user_id, cast(sum(brk) + 1 as bigint) n_sessions
             FROM b GROUP BY 1""",
-        # chunks_modern / ann_lsh_topk: sequential word-packing and
-        # approximate LSH recall — no faithful ANSI-SQL restatement;
-        # driver records the weaker rows-only check.
+        # (every queries() entry now has an oracle twin: chunks_modern
+        # reads the pyref golden parquet; ann_lsh_topk restates the
+        # deterministic hyperplane signature in SQL.)
     }

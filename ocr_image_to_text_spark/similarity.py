@@ -136,15 +136,17 @@ def lsh_bucket_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
     """
     planes = _hyperplanes(dim, n_planes)
     base = with_norm(emb)
+    # projection rounded to 9 decimals before the sign test so the Spark
+    # and DuckDB float folds can never disagree on a bucket bit
     sig = F.concat_ws(
         "",
         *[
             F.when(
-                F.aggregate(
+                F.round(F.aggregate(
                     F.zip_with(F.col("_e"), F.array(*[F.lit(v) for v in plane]),
                                lambda x, y: x * y),
                     F.lit(0.0), lambda acc, x: acc + x,
-                ) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                ), 9) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for plane in planes
         ],
     )
