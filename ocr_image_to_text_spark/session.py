@@ -14,6 +14,14 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "ocr-extract", master: str | None = None,
               shuffle_partitions: int | None = None, extra_conf: dict | None = None) -> SparkSession:
+    # The daemon module (spark.python.daemon.module below) is imported by a
+    # fresh python the JVM spawns — it sees PYTHONPATH, not the driver's
+    # sys.path, so make sure the package root is on it before launch.
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _pkg_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _pkg_root + (os.pathsep + _pp if _pp else ""))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -32,6 +40,12 @@ def get_spark(app_name: str = "ocr-extract", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # keep python workers warm between stages
         .config("spark.python.worker.reuse", "true")
+        # fork workers from a daemon that pre-imported numpy/pandas/pyarrow
+        # + the UDF modules: kills the N-worker cold import storm on the
+        # first UDF stage (daemon_preload is best-effort and falls back to
+        # stock pyspark.daemon behavior if imports fail)
+        .config("spark.python.daemon.module",
+                "ocr_image_to_text_spark.daemon_preload")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # local mode: driver heap IS the executor heap — size it for
         # 32 concurrent tasks holding Arrow batches + persisted blocks
