@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q.ann_cosine_topk,
         "emb_dup_pairs": q.emb_dup_pairs,
         "ann_lsh_topk": q.ann_lsh_topk,
+        "chunk_l2_topk": q.chunk_l2_topk,
         # --- events (streaming-adjacent batch ops) ---
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
@@ -144,6 +145,8 @@ def _lsh_sig_sql(dim: int = 64, n_planes: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from ocr_image_to_text_spark.dedup import simhash_expr_sql
+    from ocr_image_to_text_spark.queries import CHUNK_RETRIEVAL_QUERY
+    from ocr_image_to_text_spark.similarity import chunk_l2_sql_duckdb
 
     sigs = ",\n          ".join(
         f"list_aggregate(list_transform(shs, s -> md5('{i}:' || s)), 'min') mh{i}"
@@ -411,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_r DESC, neighbor_id) rank FROM j)
             WHERE rank <= 3""",
+        "chunk_l2_topk": chunk_l2_sql_duckdb(_g("chunks"), CHUNK_RETRIEVAL_QUERY, k=5),
         "emb_dup_pairs": f"""
             WITH {_EMB_NORM},
             j AS (SELECT a.vec_id va, b.vec_id vb,

@@ -463,6 +463,17 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_bucket_topk(_emb(spark, sf_dir), n_queries=20, k=3)
 
 
+CHUNK_RETRIEVAL_QUERY = "spark data engine quality filter"
+
+
+def chunk_l2_topk(spark, sf_dir):
+    """Embedding-based chunk retrieval (reference's primary RAG top-k):
+    L2 top-5 over deterministic chunk embeddings of the X3 chunks table
+    (src/utils.py:38-56 IndexFlatL2 semantics)."""
+    return similarity.chunk_l2_topk(chunks_modern(spark, sf_dir),
+                                    CHUNK_RETRIEVAL_QUERY, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Events (sessionization = the SQL-native gaps-and-islands twin of A2)
 # ---------------------------------------------------------------------------

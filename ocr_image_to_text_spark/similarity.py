@@ -113,6 +113,100 @@ def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.35,
     )
 
 
+def embed_text_py(text: str, dim: int) -> list[float]:
+    """Deterministic md5 embedding stand-in for the neural encoder.
+
+    e[d] = int(md5('{d}:' || text)[:8], 16) / 0x7FFFFFFF − 1  — the same
+    hash-to-unit-interval construction as the LSH hyperplanes, computable
+    identically in Python, Spark SQL and DuckDB. The real encoder is a
+    stochastic model boundary (SURVEY §0); retrieval semantics downstream
+    of it are what this engine ports.
+    """
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{d}:{text}".encode()).hexdigest()
+        out.append(int(h[:8], 16) / 0x7FFFFFFF - 1.0)
+    return out
+
+
+def _embed_term(text_col, d: int):
+    """One embedding dimension of embed_text_py as a JVM column expr."""
+    h = F.md5(F.concat(F.lit(f"{d}:"), text_col))
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return (v / F.lit(2147483647.0)) - F.lit(1.0)
+
+
+def chunk_l2_topk(chunks: DataFrame, query_text: str, k: int = 5,
+                  dim: int = 16) -> DataFrame:
+    """Embedding-based chunk retrieval — the reference's PRIMARY RAG top-k
+    path: FAISS IndexFlatL2 brute-force L2 over chunk embeddings
+    (src/utils.py:38-56; embedding branch of get_top_k_chunks,
+    ocr_app/utils/text_utils.py:92-115), k=5 per the RAG default
+    (ocr_app/rag/rag_processor.py:33).
+
+    Exact scan + orderBy().limit(k) → TakeOrderedAndProject (per-partition
+    top-k, merge of k·p rows — no global sort); lsh_bucket_topk is the
+    approximate bucket-join variant when even one scan per query is too
+    much. The L2 fold sums squared terms in ascending dimension order, so
+    the DuckDB twin's left-assoc chain is bit-identical; rounded to 9
+    decimals before ranking. Input: chunks_modern's (conv_id, turn_idx,
+    chunk_idx, chunk). Output: (rank, conv_id, turn_idx, chunk_idx,
+    l2_x1e9).
+    """
+    qvec = embed_text_py(query_text, dim)
+    dist = None
+    for d in range(dim):
+        t = _embed_term(F.col("chunk"), d) - F.lit(qvec[d])
+        sq = t * t
+        dist = sq if dist is None else dist + sq
+    order = [F.asc("dist_r"), F.asc("conv_id"), F.asc("turn_idx"),
+             F.asc("chunk_idx")]
+    top = (chunks.withColumn("dist_r", F.round(dist, 9))
+           .orderBy(*order).limit(k))
+    return (top.withColumn("rank", F.row_number().over(Window.orderBy(*order))
+                           .cast("long"))
+            .select("rank", "conv_id", "turn_idx",
+                    F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                    F.floor(F.col("dist_r") * 1e9 + F.lit(0.5)).cast("long")
+                    .alias("l2_x1e9")))
+
+
+def chunk_l2_sql_duckdb(chunks_parquet: str, query_text: str, k: int = 5,
+                        dim: int = 16) -> str:
+    """DuckDB twin of chunk_l2_topk over the pyref chunk golden parquet.
+
+    Restates the md5 embedding (hex→int via nibble positions — DuckDB has
+    no conv()), the left-assoc squared-distance chain in the same
+    dimension order, and the TakeOrdered ranking.
+    """
+    qvec = embed_text_py(query_text, dim)
+    hex_cols = ",\n           ".join(
+        f"substr(md5('{d}:' || chunk), 1, 8) h{d}" for d in range(dim))
+
+    def nib(d: int) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr(h{d}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8))
+
+    val_cols = ",\n           ".join(
+        f"(cast({nib(d)} as double) / 2147483647.0 - 1.0 - ({qvec[d]!r})) t{d}"
+        for d in range(dim))
+    dist = " + ".join(f"(t{d} * t{d})" for d in range(dim))
+    return f"""
+    WITH c AS (SELECT conv_id, turn_idx, chunk_idx, chunk,
+           {hex_cols}
+           FROM read_parquet('{chunks_parquet}')),
+    v AS (SELECT conv_id, turn_idx, chunk_idx,
+           {val_cols}
+           FROM c),
+    d AS (SELECT conv_id, turn_idx, chunk_idx, round({dist}, 9) dist_r FROM v)
+    SELECT cast(row_number() OVER (ORDER BY dist_r, conv_id, turn_idx, chunk_idx)
+                as bigint) rank,
+           conv_id, turn_idx, cast(chunk_idx as bigint) chunk_idx,
+           cast(floor(dist_r * 1000000000 + 0.5) as bigint) l2_x1e9
+    FROM d ORDER BY dist_r, conv_id, turn_idx, chunk_idx LIMIT {k}"""
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 (no RNG state)."""
     planes = []
