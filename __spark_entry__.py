@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stitch_v1": q.conversation_stitch_v1,
         "extract_flat": q.extract_flat,
         "boxes_table_flags": q.boxes_table_flags,
+        "extract_similarity_x16": q.extract_similarity_x16,
         "chunks_modern": q.chunks_modern,
         # --- documents analytics (SURVEY §2.8) ---
         "doc_entities": q.doc_entities,
@@ -191,6 +192,9 @@ def oracle_sql() -> dict[str, str]:
         "chunks_modern": f"""
             SELECT conv_id, turn_idx, chunk_idx, chunk
             FROM read_parquet('{_g("chunks")}')""",
+        "extract_similarity_x16": f"""
+            SELECT conv_id, turn_idx, ratio_x1e9
+            FROM read_parquet('{_g("sim_x16")}')""",
         # --- documents analytics: real SQL restatements ---
         "doc_entities": r"""
             SELECT doc_id, 'date' entity_type,

@@ -181,6 +181,43 @@ def ensure_chunks_golden(sf_dir: str) -> str:
     return path
 
 
+def ensure_sim_x16_golden(sf_dir: str) -> str:
+    """X16 golden: pyref difflib ratio between the v2 and v1 layout of
+    each boxes turn (the engine-vs-engine accuracy analog of
+    src/ocr_benchmark.py:44-83's output-vs-ground-truth scoring)."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    tier = tier_for_sf_dir(sf_dir)
+    path = golden_path(tier, "sim_x16")
+    if os.path.exists(path):
+        return path
+    paths = ensure_goldens(tier)
+    v2 = _pq.read_table(paths["extract"],
+                        columns=["conv_id", "turn_idx", "kind", "extracted_text"])
+    v2_map = {}
+    for cid, tix, kind, text in zip(v2.column("conv_id").to_pylist(),
+                                    v2.column("turn_idx").to_pylist(),
+                                    v2.column("kind").to_pylist(),
+                                    v2.column("extracted_text").to_pylist()):
+        if kind == "boxes":
+            v2_map[(cid, tix)] = text
+    v1 = _pq.read_table(paths["boxes_v1"],
+                        columns=["conv_id", "turn_idx", "extracted_text"])
+    rows = []
+    for cid, tix, t1 in zip(v1.column("conv_id").to_pylist(),
+                            v1.column("turn_idx").to_pylist(),
+                            v1.column("extracted_text").to_pylist()):
+        r = pyref.similarity_ratio(v2_map[(cid, tix)], t1)
+        rows.append({"conv_id": cid, "turn_idx": tix,
+                     "ratio_x1e9": int(math.floor(r * 1e9 + 0.5))})
+    _write(path, rows, pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", _I32),
+        ("ratio_x1e9", pa.int64())]))
+    return path
+
+
 AVG_CONF_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", _I32),

@@ -475,6 +475,20 @@ def extract_answer_from_context(query: str, context: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# X16 — benchmark similarity ratio
+# ---------------------------------------------------------------------------
+
+
+def similarity_ratio(a: str, b: str) -> float:
+    """X16 — src/ocr_benchmark.py:21-25: difflib.SequenceMatcher ratio
+    (the reference's accuracy metric between an engine output and the
+    ground truth)."""
+    import difflib
+
+    return difflib.SequenceMatcher(None, a or "", b or "").ratio()
+
+
+# ---------------------------------------------------------------------------
 # Table heuristic (A13)
 # ---------------------------------------------------------------------------
 

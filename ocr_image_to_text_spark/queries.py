@@ -191,6 +191,30 @@ def conversation_stitch_v1(spark, sf_dir, bucket: int = 1024):
     return p2.select("conv_id", stitched.alias("stitched"))
 
 
+def extract_similarity_x16(spark, sf_dir):
+    """X16 benchmark similarity (src/ocr_benchmark.py:21-25): difflib
+    ratio between the v2 and v1 layout of each boxes turn — the per-item
+    accuracy column of the reference's benchmark table (A12 input).
+
+    Both sides come from the session extraction cache; the join is a
+    co-partitioned equi-join on (conv_id, turn_idx). Oracle = pyref golden
+    (ensure_sim_x16_golden)."""
+    from .functions.simratio import sim_ratio_udf
+    from .golden import ensure_sim_x16_golden
+    from .transcripts import tier_for_sf_dir
+
+    if tier_for_sf_dir(sf_dir) != "bench":
+        ensure_sim_x16_golden(sf_dir)
+    v2 = (_extracted(spark, sf_dir).filter(F.col("kind") == "boxes")
+          .select("conv_id", "turn_idx", F.col("extracted_text").alias("t2")))
+    v1 = (_extracted(spark, sf_dir, variant="v1").filter(F.col("kind") == "boxes")
+          .select("conv_id", "turn_idx", F.col("extracted_text").alias("t1")))
+    ratio = sim_ratio_udf(F.col("t2"), F.col("t1"))
+    return (v2.join(v1, ["conv_id", "turn_idx"])
+            .select("conv_id", "turn_idx",
+                    F.floor(ratio * 1e9 + F.lit(0.5)).cast("long").alias("ratio_x1e9")))
+
+
 def boxes_table_flags(spark, sf_dir):
     return (_extracted(spark, sf_dir).filter(F.col("kind") == "boxes")
             .select("conv_id", "turn_idx", "table_flag"))
