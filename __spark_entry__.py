@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- documents analytics (SURVEY §2.8) ---
         "doc_entities": q.doc_entities,
         "doc_lang": q.doc_lang,
+        "doc_lang_ngram": q.doc_lang_ngram,
         "doc_stats": q.doc_stats,
         "doc_quality_v1": q.doc_quality_v1,
         "doc_quality_v2": q.doc_quality_v2,
@@ -144,6 +145,41 @@ def _lsh_sig_sql(dim: int = 64, n_planes: int = 8) -> str:
     return " || ".join(bits)
 
 
+def _lang_ngram_sql() -> str:
+    """DuckDB twin of textfn.lang_ngram_col, generated from the same
+    LANG_PROFILES so the two dialects cannot drift."""
+    from ocr_image_to_text_spark.functions.textfn import LANG_PROFILES
+
+    langs = list(LANG_PROFILES)
+    score_cols = ",\n                   ".join(
+        "len(list_filter(["
+        + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        + f"], w -> list_contains(dw, w))) s_{lang}"
+        for lang in langs)
+    argmax = "\n                ".join(
+        f"WHEN s_{lang} >= greatest("
+        + ", ".join(f"s_{o}" for o in langs if o != lang)
+        + f") THEN '{lang}'"
+        for lang in langs)
+    return rf"""
+            WITH d AS (SELECT doc_id, text,
+                   list_distinct(regexp_extract_all(lower(coalesce(text, '')), '\w+')) dw
+                FROM documents),
+            s AS (SELECT doc_id, text,
+                   {score_cols}
+                FROM d)
+            SELECT doc_id, CASE
+                WHEN text IS NULL OR length(text) < 20 THEN 'en'
+                WHEN regexp_matches(text, '[\x{{4e00}}-\x{{9fff}}]') THEN 'zh'
+                WHEN regexp_matches(text, '[\x{{3040}}-\x{{30ff}}]') THEN 'ja'
+                WHEN regexp_matches(text, '[\x{{ac00}}-\x{{d7af}}]') THEN 'ko'
+                WHEN regexp_matches(text, '[\x{{0600}}-\x{{06ff}}]') THEN 'ar'
+                WHEN regexp_matches(text, '[\x{{0400}}-\x{{04ff}}]') THEN 'ru'
+                {argmax}
+                ELSE 'en' END lang_detected
+            FROM s"""
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_image_to_text_spark.dedup import simhash_expr_sql
     from ocr_image_to_text_spark.queries import CHUNK_RETRIEVAL_QUERY
@@ -219,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
                 WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
                 ELSE 'en' END lang_detected
             FROM documents""",
+        "doc_lang_ngram": _lang_ngram_sql(),
         "doc_stats": r"""
             SELECT doc_id,
                    cast(CASE WHEN length(trim(text)) = 0 THEN 0

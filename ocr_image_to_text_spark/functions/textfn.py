@@ -54,6 +54,45 @@ def lang_col(text: Column) -> Column:
     )
 
 
+# --- X8 primary-path analog: deterministic profile-based language ID --------
+# The reference's primary path calls the langdetect package
+# (ocr_app/utils/text_utils.py:171-189) — a stochastic 3rd-party model
+# boundary. This is the deterministic stand-in: script evidence via the
+# same unicode ranges, then Cavnar–Trenkle-style stopword-profile scoring
+# for latin-script texts, first-max-wins in profile order.
+
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "les", "et", "est", "dans", "pour", "que", "une"],
+    "es": ["el", "los", "las", "es", "y", "con", "para", "por"],
+}
+
+
+def lang_ngram_col(text: Column) -> Column:
+    words = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.coalesce(text, F.lit(""))), F.lit(r"\w+"), 0))
+    scores = {
+        lang: F.size(F.filter(F.array(*[F.lit(w) for w in profile]),
+                              lambda w: F.array_contains(words, w)))
+        for lang, profile in LANG_PROFILES.items()
+    }
+    langs = list(LANG_PROFILES)
+    out = (
+        F.when(text.isNull() | (F.length(text) < 20), "en")
+        .when(text.rlike("[一-鿿]"), "zh")
+        .when(text.rlike("[぀-ヿ]"), "ja")
+        .when(text.rlike("[가-힯]"), "ko")
+        .when(text.rlike("[؀-ۿ]"), "ar")
+        .when(text.rlike("[Ѐ-ӿ]"), "ru")
+    )
+    for i, lang in enumerate(langs):
+        others = [scores[o] for o in langs if o != lang]
+        cond = scores[lang] >= F.greatest(*others)
+        out = out.when(cond, lang)
+    return out.otherwise("en")  # unreachable (first when covers >= ties)
+
+
 # --- A10 text statistics (ocr_app/ui/web_app.py:299-312) --------------------
 
 

@@ -260,6 +260,13 @@ def doc_lang(spark, sf_dir):
         "doc_id", textfn.lang_col(F.col("text")).alias("lang_detected"))
 
 
+def doc_lang_ngram(spark, sf_dir):
+    """X8 primary-path analog: deterministic stopword-profile language ID
+    (stand-in for the stochastic langdetect call, text_utils.py:171-189)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", textfn.lang_ngram_col(F.col("text")).alias("lang_detected"))
+
+
 def doc_stats(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", *textfn.stats_cols(F.col("text")))
 
