@@ -4,12 +4,16 @@ Training-data-pipeline components (build mandate): media payloads travel
 as `binary` columns with a typed metadata struct; decode / feature-extract
 / resize / frame-sample run as Arrow-batched pandas UDFs via mapInPandas.
 
-DECODE IS STUBBED: this container ships no image/audio codecs, so
-`_decode_*_stub` produce a DETERMINISTIC FAKE decode (seeded from the
-payload bytes) with the correct shapes/dtypes. The Spark-side plumbing —
-schemas, partitioning, UDF signatures, per-batch memory shaping — is real
-and tested; swapping in PIL/ffmpeg is a one-function change per kind
-(clearly marked below).
+Decode status (this container ships no codec libraries, so only formats
+decodable from first principles are real):
+
+  * image — REAL decode for uncompressed 24-bit BMP (BITMAPINFOHEADER)
+    and binary PPM (P6): both are public, header+raster formats parsed
+    here with struct/numpy. Unknown magics fall back to the clearly
+    marked deterministic stub.
+  * audio — REAL decode for PCM16 WAV via the stdlib `wave` module.
+  * video — STUBBED (every real container needs ffmpeg); the frame-sample
+    fan-out shape is the tested contract, frames are deterministic fakes.
 
 Scale notes: payloads dominate row size, so batches are kept small via a
 pre-UDF repartition on media_id and `spark.sql.execution.arrow.
@@ -20,6 +24,9 @@ possible (column pruning works *between* stages, not inside a UDF).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -63,16 +70,134 @@ def _rng_bytes(seed: bytes, n: int) -> np.ndarray:
 
 
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB — deterministic fake decode. Real impl: PIL.Image.open(BytesIO)."""
+    """STUB — deterministic fake decode (unknown codecs / video frames)."""
     return _rng_bytes(payload[:64], width * height * 3).reshape(height, width, 3)
+
+
+# --- REAL image codecs (public header+raster formats, no libraries) ---------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (BITMAPINFOHEADER).
+
+    Format per the public Windows BMP spec: 14-byte file header, 40-byte
+    info header, BGR rows bottom-up, each row padded to 4 bytes.
+    """
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += img[y, :, ::-1].tobytes()  # RGB → BGR
+        body += b"\x00" * pad
+    data_off = 14 + 40
+    size = data_off + len(body)
+    head = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return head + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode 24-bit uncompressed BMP → (H, W, 3) uint8 RGB."""
+    magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP")
+    hdr_sz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + (4 - row % 4) % 4
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        y = (h - 1 - i) if flip else i
+        line = np.frombuffer(payload, dtype=np.uint8,
+                             count=row, offset=off + i * stride)
+        img[y] = line.reshape(w, 3)[:, ::-1]  # BGR → RGB
+    return img
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6, maxval 255) writer."""
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode binary PPM (P6) → (H, W, 3) uint8 RGB. Handles comment
+    lines and arbitrary whitespace in the header per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3).copy()
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Dispatch on magic bytes; unknown codecs fall back to the stub."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    return _decode_image_stub(payload, width, height)
+
+
+# --- REAL audio codec (PCM16 WAV via stdlib wave) ---------------------------
+
+
+def encode_wav(pcm: np.ndarray, rate: int = 8000) -> bytes:
+    """PCM16 mono WAV writer; input float32 in [-1, 1]."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((np.clip(pcm, -1.0, 1.0) * 32767.0)
+                       .astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM16 WAV → (float32 samples in [-1, 1], sample rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM16 supported")
+        rate = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
+    return pcm, rate
 
 
 def _decode_audio_stub(payload: bytes, duration_ms: int,
                        rate: int = 8000) -> np.ndarray:
-    """STUB — deterministic fake PCM. Real impl: soundfile/ffmpeg."""
+    """STUB — deterministic fake PCM for non-WAV payloads."""
     n = max(duration_ms * rate // 1000, 1)
     raw = _rng_bytes(payload[:64], n)
     return (raw.astype(np.float32) - 127.5) / 127.5
+
+
+def decode_audio(payload: bytes, duration_ms: int) -> np.ndarray:
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)[0]
+    return _decode_audio_stub(payload, duration_ms)
 
 
 IMAGE_FEATURES_SCHEMA = (
@@ -92,8 +217,9 @@ def image_features(media: DataFrame, partitions: int | None = None) -> DataFrame
         for b in batches:
             rows = []
             for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
-                w, h = int(meta["width"]), int(meta["height"])
-                img = _decode_image_stub(bytes(payload), w, h)
+                img = decode_image(bytes(payload), int(meta["width"]),
+                                   int(meta["height"]))
+                h, w = img.shape[:2]
                 means = img.reshape(-1, 3).mean(axis=0)
                 # 8x8 average hash: crop to multiples of 8, block-mean, threshold
                 hh, ww = (h // 8) * 8, (w // 8) * 8
@@ -117,22 +243,32 @@ def image_features(media: DataFrame, partitions: int | None = None) -> DataFrame
 RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
 
 
+def resize_nn(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    """Nearest-neighbor resample (pure numpy, deterministic)."""
+    h, w = img.shape[:2]
+    yi = np.minimum((np.arange(nh) * (h / nh)).astype(np.int64), h - 1)
+    xi = np.minimum((np.arange(nw) * (w / nw)).astype(np.int64), w - 1)
+    return img[yi][:, xi]
+
+
 def image_resize(media: DataFrame, max_side: int = 256,
                  partitions: int | None = None) -> DataFrame:
     """Ratio-preserving resize cap (analog of src/ocr/nanonets_ocr.py:59-65).
 
-    STUB: emits a deterministic payload for the target dims; real impl
-    resamples the decoded array. Dimension math is the real contract.
-    """
+    REAL for BMP/PPM payloads: decode → nearest-neighbor resample →
+    re-encode BMP. Unknown codecs resize the stub-decoded array (shape
+    contract identical)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
-                w, h = int(meta["width"]), int(meta["height"])
+                img = decode_image(bytes(payload), int(meta["width"]),
+                                   int(meta["height"]))
+                h, w = img.shape[:2]
                 scale = min(1.0, max_side / max(w, h))
                 nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-                out = _decode_image_stub(bytes(payload), nw, nh).tobytes()
+                out = encode_bmp(resize_nn(img, nw, nh))
                 rows.append((int(mid), nw, nh, out))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height",
                                               "payload"])
@@ -184,7 +320,7 @@ def audio_features(media: DataFrame, partitions: int | None = None) -> DataFrame
             rows = []
             for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
                 dur = int(meta["duration_ms"])
-                pcm = _decode_audio_stub(bytes(payload), dur)
+                pcm = decode_audio(bytes(payload), dur)
                 rms = float(np.sqrt(np.mean(pcm * pcm)))
                 zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))
                 rows.append((int(mid), dur, rms, zc))
@@ -197,8 +333,19 @@ def audio_features(media: DataFrame, partitions: int | None = None) -> DataFrame
     return src.mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
 
 
+def synthetic_image(seed: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB test image: md5-stream noise over a gradient."""
+    noise = _rng_bytes(seed, w * h * 3).reshape(h, w, 3).astype(np.int16)
+    gx = np.linspace(0, 127, w, dtype=np.int16)[None, :, None]
+    return np.clip(noise // 2 + gx, 0, 255).astype(np.uint8)
+
+
 def synthetic_media(spark, n: int = 60, seed: int = 42) -> DataFrame:
-    """Deterministic media table for tests/benchmarks (no external data)."""
+    """Deterministic media table for tests/benchmarks (no external data).
+
+    Image payloads are REAL encoded files (alternating 24-bit BMP and P6
+    PPM); audio payloads are REAL PCM16 WAVs; video payloads are opaque
+    bytes (decode stubbed, see module docstring)."""
     import random
 
     rng = random.Random(seed)
@@ -208,7 +355,19 @@ def synthetic_media(spark, n: int = 60, seed: int = 42) -> DataFrame:
         w = rng.choice([32, 64, 96])
         h = rng.choice([32, 48, 80])
         dur = rng.choice([500, 1500, 3200]) if kind != "image" else 0
-        payload = hashlib.md5(f"media:{seed}:{i}".encode()).digest() * 4
-        rows.append((i, kind, bytearray(payload),
-                     (w, h, dur, "stub")))
+        md5_seed = hashlib.md5(f"media:{seed}:{i}".encode()).digest()
+        if kind == "image":
+            img = synthetic_image(md5_seed, w, h)
+            payload = encode_bmp(img) if i % 2 == 0 else encode_ppm(img)
+            codec = "bmp" if i % 2 == 0 else "ppm"
+        elif kind == "audio":
+            rate = 8000
+            nsamp = max(dur * rate // 1000, 1)
+            raw = _rng_bytes(md5_seed, nsamp)
+            payload = encode_wav((raw.astype(np.float32) - 127.5) / 127.5, rate)
+            codec = "wav"
+        else:
+            payload = md5_seed * 4
+            codec = "stub"
+        rows.append((i, kind, bytearray(payload), (w, h, dur, codec)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,14 +1,44 @@
-"""Multimodal plumbing: schemas, batch shapes, determinism, fan-out.
+"""Multimodal: real BMP/PPM/WAV codecs + Spark plumbing.
 
-The decode is a documented deterministic stub; what these tests pin is
-the REAL contract — binary+metadata schema through mapInPandas, output
-schemas, per-kind filtering, frame fan-out arithmetic, and run-to-run
-determinism (same payload bytes → same features on any partitioning).
+Image (BMP/PPM) and audio (WAV) decode are REAL — pinned by byte-exact
+encode→decode roundtrips below. Video decode stays a documented stub; its
+tests pin the fan-out contract only. The Spark-side tests pin schemas,
+per-kind filtering, and run-to-run determinism across partitionings.
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 from ocr_image_to_text_spark import multimodal as mm
+
+
+def test_bmp_roundtrip():
+    for w, h in [(1, 1), (3, 2), (32, 48), (33, 7)]:  # incl. row padding
+        img = mm.synthetic_image(b"seed", w, h)
+        assert (mm.decode_bmp(mm.encode_bmp(img)) == img).all()
+
+
+def test_ppm_roundtrip_and_comments():
+    img = mm.synthetic_image(b"x", 17, 9)
+    assert (mm.decode_ppm(mm.encode_ppm(img)) == img).all()
+    # header with a comment line (netpbm spec)
+    with_comment = b"P6\n# a comment\n17 9\n255\n" + img.tobytes()
+    assert (mm.decode_ppm(with_comment) == img).all()
+
+
+def test_wav_roundtrip():
+    pcm = np.sin(np.linspace(0, 40, 4000)).astype(np.float32) * 0.7
+    out, rate = mm.decode_wav(mm.encode_wav(pcm, rate=8000))
+    assert rate == 8000
+    assert out.shape == pcm.shape
+    assert np.abs(out - pcm).max() < 1.0 / 32000  # 16-bit quantization only
+
+
+def test_resize_nn_exact_on_integer_factor():
+    img = mm.synthetic_image(b"r", 32, 32)
+    half = mm.resize_nn(img, 16, 16)
+    assert (half == img[::2, ::2]).all()
 
 
 def test_image_features_schema_and_determinism(spark):
@@ -30,7 +60,9 @@ def test_image_resize_caps_max_side(spark):
     out = mm.image_resize(media, max_side=40).collect()
     for r in out:
         assert max(r.width, r.height) <= 40
-        assert len(r.payload) == r.width * r.height * 3
+        # output payload is a real BMP of the reported dimensions
+        img = mm.decode_bmp(bytes(r.payload))
+        assert img.shape == (r.height, r.width, 3)
 
 
 def test_frame_sample_fanout(spark):
