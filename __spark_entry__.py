@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs": q.emb_dup_pairs,
         "ann_lsh_topk": q.ann_lsh_topk,
         "chunk_l2_topk": q.chunk_l2_topk,
+        # --- multimodal (real BMP/PPM/WAV decode) ---
+        "media_image_features": q.media_image_features,
+        "media_audio_features": q.media_audio_features,
         # --- events (streaming-adjacent batch ops) ---
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
@@ -465,6 +468,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(va as bigint) vec_a, cast(vb as bigint) vec_b,
                    cast(floor(cos_r * 1000000000 + 0.5) as bigint) cos_x1e9
             FROM j WHERE cos_r >= 0.35""",
+        "media_image_features": f"""
+            SELECT media_id, width, height, mean_r_x1e6, mean_g_x1e6,
+                   mean_b_x1e6, phash
+            FROM read_parquet('{_g("media_image")}')""",
+        "media_audio_features": f"""
+            SELECT media_id, duration_ms, rms_x1e9, zero_cross
+            FROM read_parquet('{_g("media_audio")}')""",
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') hour_bucket, event_type,
                    count(*) n_events,

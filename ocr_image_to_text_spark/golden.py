@@ -218,6 +218,48 @@ def ensure_sim_x16_golden(sf_dir: str) -> str:
     return path
 
 
+def ensure_media_golden(sf_dir: str) -> dict[str, str]:
+    """Multimodal goldens: numpy-free mmref decode+features over the
+    deterministic media rows (two-implementation check of the real
+    BMP/PPM/WAV codecs). Doubles are scaled to ints per the repo's
+    oracle column convention."""
+    import math
+
+    from . import mmref
+    from .multimodal import MEDIA_N_BY_TIER, synthetic_media_rows
+
+    tier = tier_for_sf_dir(sf_dir)
+    paths = {"media_image": golden_path(tier, "media_image"),
+             "media_audio": golden_path(tier, "media_audio")}
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    rows = synthetic_media_rows(MEDIA_N_BY_TIER.get(tier, 60))
+    img_rows, aud_rows = [], []
+    for mid, kind, payload, (w, h, dur, _codec) in rows:
+        if kind == "image":
+            f = mmref.image_features_py(bytes(payload))
+            img_rows.append({
+                "media_id": mid, "width": f["width"], "height": f["height"],
+                "mean_r_x1e6": int(math.floor(f["mean_r"] * 1e6 + 0.5)),
+                "mean_g_x1e6": int(math.floor(f["mean_g"] * 1e6 + 0.5)),
+                "mean_b_x1e6": int(math.floor(f["mean_b"] * 1e6 + 0.5)),
+                "phash": f["phash"]})
+        elif kind == "audio":
+            f = mmref.audio_features_py(bytes(payload))
+            aud_rows.append({
+                "media_id": mid, "duration_ms": dur,
+                "rms_x1e9": int(math.floor(f["rms"] * 1e9 + 0.5)),
+                "zero_cross": f["zero_cross"]})
+    _write(paths["media_image"], img_rows, pa.schema([
+        ("media_id", pa.int64()), ("width", _I32), ("height", _I32),
+        ("mean_r_x1e6", pa.int64()), ("mean_g_x1e6", pa.int64()),
+        ("mean_b_x1e6", pa.int64()), ("phash", pa.int64())]))
+    _write(paths["media_audio"], aud_rows, pa.schema([
+        ("media_id", pa.int64()), ("duration_ms", _I32),
+        ("rms_x1e9", pa.int64()), ("zero_cross", pa.int64())]))
+    return paths
+
+
 AVG_CONF_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", _I32),

@@ -1,0 +1,133 @@
+"""Numpy-free pure-Python oracle for the multimodal operators.
+
+Independent restatement of multimodal.py's decode + feature semantics
+using only the stdlib (struct / wave / math): BMP and PPM parsing by
+walking the header byte-by-byte, features in exact integer arithmetic.
+Because both sides reduce to exact integer sums before any division, the
+Spark (numpy) implementation must match these values bit-for-bit — the
+same two-implementation strategy as pyref.py for the text pipeline.
+
+Used by golden.ensure_media_golden to materialize the DuckDB oracle
+parquet for media_image_features / media_audio_features.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import wave
+
+
+def decode_bmp_py(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """24-bit uncompressed BMP → (w, h, rows of (r, g, b))."""
+    magic, _sz, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP")
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP")
+    flip = h > 0
+    h = abs(h)
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    img = [[(0, 0, 0)] * w for _ in range(h)]
+    for i in range(h):
+        y = (h - 1 - i) if flip else i
+        base = off + i * stride
+        row = img[y]
+        for x in range(w):
+            b = payload[base + 3 * x]
+            g = payload[base + 3 * x + 1]
+            r = payload[base + 3 * x + 2]
+            row[x] = (r, g, b)
+    return w, h, img
+
+
+def decode_ppm_py(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Binary PPM (P6, maxval 255) → (w, h, rows of (r, g, b))."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255")
+    img = []
+    for y in range(h):
+        base = pos + y * w * 3
+        img.append([(payload[base + 3 * x], payload[base + 3 * x + 1],
+                     payload[base + 3 * x + 2]) for x in range(w)])
+    return w, h, img
+
+
+def decode_image_py(payload: bytes):
+    if payload[:2] == b"BM":
+        return decode_bmp_py(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm_py(payload)
+    raise ValueError("oracle only decodes real formats")
+
+
+def image_features_py(payload: bytes) -> dict:
+    """Channel means + integer 8x8 average hash (multimodal.image_features
+    semantics, restated with plain loops and exact integer sums)."""
+    w, h, img = decode_image_py(payload)
+    sr = sg = sb = 0
+    for row in img:
+        for r, g, b in row:
+            sr += r
+            sg += g
+            sb += b
+    n_px = w * h
+    hh, ww = (h // 8) * 8, (w // 8) * 8
+    block_sums = [[0] * 8 for _ in range(8)]
+    for y in range(hh):
+        by = y * 8 // hh
+        row = img[y]
+        for x in range(ww):
+            r, g, b = row[x]
+            block_sums[by][x * 8 // ww] += r + g + b
+    total = sum(sum(r) for r in block_sums)
+    unsigned = 0
+    i = 0
+    for by in range(8):
+        for bx in range(8):
+            if block_sums[by][bx] * 64 > total:
+                unsigned |= 1 << i
+            i += 1
+    phash = unsigned - (1 << 64) if unsigned >= (1 << 63) else unsigned
+    return {"width": w, "height": h, "mean_r": sr / n_px, "mean_g": sg / n_px,
+            "mean_b": sb / n_px, "phash": phash}
+
+
+def audio_features_py(payload: bytes) -> dict:
+    """RMS + zero crossings over PCM16 WAV samples, exact-integer sums."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM16")
+        raw = wf.readframes(wf.getnframes())
+    n = len(raw) // 2
+    samples = struct.unpack(f"<{n}h", raw)
+    ssq = 0
+    zc = 0
+    prev_neg = None
+    for s in samples:
+        ssq += s * s
+        neg = s < 0
+        if prev_neg is not None and neg != prev_neg:
+            zc += 1
+        prev_neg = neg
+    rms = math.sqrt(ssq / (n * 32767.0 * 32767.0))
+    return {"rms": rms, "zero_cross": zc}

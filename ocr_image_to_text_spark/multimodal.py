@@ -200,6 +200,16 @@ def decode_audio(payload: bytes, duration_ms: int) -> np.ndarray:
     return _decode_audio_stub(payload, duration_ms)
 
 
+def decode_audio_i16(payload: bytes, duration_ms: int) -> np.ndarray:
+    """Int16 samples — the exact-arithmetic path for feature extraction."""
+    if payload[:4] == b"RIFF":
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            raw = wf.readframes(wf.getnframes())
+        return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    pcm = _decode_audio_stub(payload, duration_ms)
+    return np.round(pcm * 32767.0).astype(np.int64)
+
+
 IMAGE_FEATURES_SCHEMA = (
     "media_id long, width int, height int, "
     "mean_r double, mean_g double, mean_b double, phash long"
@@ -220,16 +230,24 @@ def image_features(media: DataFrame, partitions: int | None = None) -> DataFrame
                 img = decode_image(bytes(payload), int(meta["width"]),
                                    int(meta["height"]))
                 h, w = img.shape[:2]
-                means = img.reshape(-1, 3).mean(axis=0)
-                # 8x8 average hash: crop to multiples of 8, block-mean, threshold
+                # channel means: integer sums are exact in float64 (< 2^53),
+                # so sum/n is bit-identical across implementations
+                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n_px = h * w
+                # 8x8 average hash in PURE INTEGER arithmetic (crop to
+                # multiples of 8; bit b set iff block_sum · 64 > total_sum ·
+                # block_frac) — exact, so the numpy-free oracle (mmref.py)
+                # matches bit-for-bit
                 hh, ww = (h // 8) * 8, (w // 8) * 8
-                g = img[:hh, :ww].mean(axis=2)
-                blocks = g.reshape(8, hh // 8, 8, ww // 8).mean(axis=(1, 3))
-                bits = (blocks > blocks.mean()).astype(np.uint64).flatten()
+                g3 = img[:hh, :ww].astype(np.int64).sum(axis=2)
+                blocks = g3.reshape(8, hh // 8, 8, ww // 8).sum(axis=(1, 3))
+                total = int(blocks.sum())
+                bits = (blocks.flatten() * 64 > total)
                 unsigned = sum(int(v) << i for i, v in enumerate(bits))
                 phash = unsigned - (1 << 64) if unsigned >= (1 << 63) else unsigned
-                rows.append((int(mid), w, h, float(means[0]), float(means[1]),
-                             float(means[2]), phash))
+                rows.append((int(mid), w, h, float(sums[0] / n_px),
+                             float(sums[1] / n_px), float(sums[2] / n_px),
+                             phash))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
                 "phash"])
@@ -320,9 +338,15 @@ def audio_features(media: DataFrame, partitions: int | None = None) -> DataFrame
             rows = []
             for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
                 dur = int(meta["duration_ms"])
-                pcm = decode_audio(bytes(payload), dur)
-                rms = float(np.sqrt(np.mean(pcm * pcm)))
-                zc = int(np.count_nonzero(np.diff(np.signbit(pcm))))
+                # exact path: int16 squared sums are exact integers, so
+                # rms = sqrt(ssq / (n·32767²)) is bit-identical to the
+                # numpy-free oracle (mmref.py)
+                i16 = decode_audio_i16(bytes(payload), dur)
+                ssq = int((i16 * i16).sum())
+                n = len(i16)
+                rms = float(np.sqrt(ssq / (n * 32767.0 * 32767.0)))
+                neg = i16 < 0
+                zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
                 rows.append((int(mid), dur, rms, zc))
             yield pd.DataFrame(rows, columns=["media_id", "duration_ms", "rms",
                                               "zero_cross"])
@@ -340,12 +364,14 @@ def synthetic_image(seed: bytes, w: int, h: int) -> np.ndarray:
     return np.clip(noise // 2 + gx, 0, 255).astype(np.uint8)
 
 
-def synthetic_media(spark, n: int = 60, seed: int = 42) -> DataFrame:
-    """Deterministic media table for tests/benchmarks (no external data).
+def synthetic_media_rows(n: int = 60, seed: int = 42) -> list:
+    """Deterministic media rows (no external data, no Spark).
 
     Image payloads are REAL encoded files (alternating 24-bit BMP and P6
     PPM); audio payloads are REAL PCM16 WAVs; video payloads are opaque
-    bytes (decode stubbed, see module docstring)."""
+    bytes (decode stubbed, see module docstring). Shared by the Spark
+    table builder and the numpy-free oracle (payload GENERATION is input
+    data; only decode+features are independently restated in mmref.py)."""
     import random
 
     rng = random.Random(seed)
@@ -370,4 +396,12 @@ def synthetic_media(spark, n: int = 60, seed: int = 42) -> DataFrame:
             payload = md5_seed * 4
             codec = "stub"
         rows.append((i, kind, bytearray(payload), (w, h, dur, codec)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+MEDIA_N_BY_TIER = {"t1": 60, "t2": 240, "bench": 1200}
+
+
+def synthetic_media(spark, n: int = 60, seed: int = 42) -> DataFrame:
+    """Deterministic media table for tests/benchmarks."""
+    return spark.createDataFrame(synthetic_media_rows(n, seed), MEDIA_SCHEMA)

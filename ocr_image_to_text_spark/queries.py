@@ -506,6 +506,51 @@ def chunk_l2_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal (real BMP/PPM/WAV decode; oracle = numpy-free mmref golden)
+# ---------------------------------------------------------------------------
+
+
+def _media(spark, sf_dir):
+    from . import multimodal as mm
+    from .golden import ensure_media_golden
+    from .transcripts import tier_for_sf_dir
+
+    tier = tier_for_sf_dir(sf_dir)
+    if tier != "bench":
+        ensure_media_golden(sf_dir)
+    n = mm.MEDIA_N_BY_TIER.get(tier, 60)
+    return mm.synthetic_media(spark, n)
+
+
+def media_image_features(spark, sf_dir):
+    """Decode (real BMP/PPM) → channel means + integer 8x8 average hash."""
+    from . import multimodal as mm
+
+    feats = mm.image_features(
+        _media(spark, sf_dir),
+        partitions=spark.sparkContext.defaultParallelism)
+    return feats.select(
+        "media_id", "width", "height",
+        F.floor(F.col("mean_r") * 1e6 + F.lit(0.5)).cast("long").alias("mean_r_x1e6"),
+        F.floor(F.col("mean_g") * 1e6 + F.lit(0.5)).cast("long").alias("mean_g_x1e6"),
+        F.floor(F.col("mean_b") * 1e6 + F.lit(0.5)).cast("long").alias("mean_b_x1e6"),
+        "phash")
+
+
+def media_audio_features(spark, sf_dir):
+    """Decode (real PCM16 WAV) → RMS energy + zero-crossing count."""
+    from . import multimodal as mm
+
+    feats = mm.audio_features(
+        _media(spark, sf_dir),
+        partitions=spark.sparkContext.defaultParallelism)
+    return feats.select(
+        "media_id", "duration_ms",
+        F.floor(F.col("rms") * 1e9 + F.lit(0.5)).cast("long").alias("rms_x1e9"),
+        F.col("zero_cross").cast("long").alias("zero_cross"))
+
+
+# ---------------------------------------------------------------------------
 # Events (sessionization = the SQL-native gaps-and-islands twin of A2)
 # ---------------------------------------------------------------------------
 
