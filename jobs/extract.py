@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--fail-after-waves", type=int, default=None,
                     help="inject a crash after N waves (resume testing)")
+    ap.add_argument("--extras", action="store_true",
+                    help="include A5 flat_text + A9 avg_conf_x1e9 in the rollup")
     ap.add_argument("--max-payload-chars", type=int, default=None,
                     help="drop oversized payloads (count logged to manifest)")
     args = ap.parse_args()
@@ -49,7 +51,7 @@ def main() -> None:
         spark, input_path, args.out,
         n_buckets=args.n_buckets, wave_size=args.wave_size,
         variant=args.variant, fail_after_waves=args.fail_after_waves,
-        max_payload_chars=args.max_payload_chars)
+        max_payload_chars=args.max_payload_chars, extras=args.extras)
     print(json.dumps(summary))
     spark.stop()
 

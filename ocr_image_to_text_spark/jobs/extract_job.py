@@ -91,6 +91,7 @@ def run_extract_job(
     fail_after_waves: int | None = None,
     salt_partitions: int | None = None,
     max_payload_chars: int | None = None,
+    extras: bool = False,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
 
@@ -139,7 +140,8 @@ def run_extract_job(
                                 .collect()}
             sub = sub.filter(size_col <= max_payload_chars)
         # Salted repartition: turn-granular hash spreads skewed convs.
-        ext = extract_turns(sub, variant=variant, partitions=salt_partitions)
+        ext = extract_turns(sub, variant=variant, partitions=salt_partitions,
+                            extras=extras)
         # span arrays are derivable from extracted_text (span_cols) —
         # don't double-store the string data in the stage
         ext = (ext.drop("span_starts", "span_ends", "span_texts")
