@@ -65,7 +65,11 @@ def ngram_candidates(docs: DataFrame, df_cap: int | None) -> DataFrame:
     only for pairs whose every common shingle is hot (near-dups virtually
     always share a rarer shingle).
     """
-    sh = shingles(docs)
+    # The exploded index feeds three subtrees (hot-shingle count + both
+    # self-join sides); cache it so the regex shingling runs once per
+    # query. Session-scoped like the extraction cache; at warehouse scale
+    # you would materialize the index to a table instead.
+    sh = shingles(docs).cache()
     if df_cap is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > df_cap)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
@@ -79,11 +83,15 @@ def ngram_candidates(docs: DataFrame, df_cap: int | None) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold_x1000: int = 100,
-                        df_cap: int | None = 100) -> DataFrame:
-    """Candidate pairs via df-capped inverted-index join; exact Jaccard
-    verify against the FULL shingle sets (array_intersect — the cap never
-    changes a reported value, only bounds candidate generation).
+                        df_cap: int | None = None) -> DataFrame:
+    """Candidate pairs via (optionally df-capped) inverted-index join;
+    exact Jaccard verify against the FULL shingle sets (array_intersect —
+    a cap never changes a reported value, only bounds candidate
+    generation).
 
+    The library default is EXACT (df_cap=None — no silent recall caps);
+    callers opt into a cap explicitly at corpus scale, accepting that a
+    pair whose every shared shingle is hotter than the cap is skipped.
     Output: (doc_a, doc_b, jacc_x1000) with doc_a < doc_b.
     """
     base = docs.select("doc_id", shingle_array().alias("shs"))

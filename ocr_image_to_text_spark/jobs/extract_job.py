@@ -112,9 +112,24 @@ def run_extract_job(
     if done:
         print(f"extract_job: resuming run={run_id}: "
               f"{len(done)} parts done, {len(todo)} to go")
+        # Refuse to resume under settings that change row semantics or the
+        # stage/rollup schema: committed partitions would silently diverge
+        # from the new waves (schema inference reads one arbitrary footer).
+        prev = (spark.read.parquet(manifest_dir)
+                .filter(F.col("status") == "done")
+                .select("lineage").limit(1).collect())
+        if prev and prev[0].lineage:
+            pl = json.loads(prev[0].lineage)
+            for key, val in (("variant", variant), ("extras", extras),
+                             ("n_buckets", n_buckets)):
+                if key in pl and pl[key] != val:
+                    raise ValueError(
+                        f"resume mismatch: manifest has {key}={pl[key]!r}, "
+                        f"this run has {val!r} — use a fresh --out dir")
 
     lineage = json.dumps({
         "input": input_path, "variant": variant, "n_buckets": n_buckets,
+        "extras": extras,
         "app_id": spark.sparkContext.applicationId,
     })
 

@@ -47,17 +47,20 @@ def decode_ppm_py(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, i
     """Binary PPM (P6, maxval 255) → (w, h, rows of (r, g, b))."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM")
+    end = len(payload)
     pos = 2
     fields: list[int] = []
     while len(fields) < 3:
-        while payload[pos:pos + 1].isspace():
+        while pos < end and payload[pos:pos + 1].isspace():
             pos += 1
+        if pos >= end:
+            raise ValueError("truncated PPM header")
         if payload[pos:pos + 1] == b"#":
-            while payload[pos] != 0x0A:
+            while pos < end and payload[pos] != 0x0A:
                 pos += 1
             continue
         start = pos
-        while not payload[pos:pos + 1].isspace():
+        while pos < end and not payload[pos:pos + 1].isspace():
             pos += 1
         fields.append(int(payload[start:pos]))
     pos += 1

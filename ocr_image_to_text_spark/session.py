@@ -40,12 +40,6 @@ def get_spark(app_name: str = "ocr-extract", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # keep python workers warm between stages
         .config("spark.python.worker.reuse", "true")
-        # fork workers from a daemon that pre-imported numpy/pandas/pyarrow
-        # + the UDF modules: kills the N-worker cold import storm on the
-        # first UDF stage (daemon_preload is best-effort and falls back to
-        # stock pyspark.daemon behavior if imports fail)
-        .config("spark.python.daemon.module",
-                "ocr_image_to_text_spark.daemon_preload")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # local mode: driver heap IS the executor heap — size it for
         # 32 concurrent tasks holding Arrow batches + persisted blocks
@@ -57,6 +51,19 @@ def get_spark(app_name: str = "ocr-extract", master: str | None = None,
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Fork workers from a daemon that pre-imported numpy/pandas/pyarrow +
+    # the UDF modules: kills the N-worker cold import storm on the first
+    # UDF stage. The PRELOADS inside the module are best-effort, but the
+    # module itself must be importable by the worker python or every UDF
+    # task fails — so only enable it when this package is importable from
+    # a filesystem path we can export via PYTHONPATH (true in local mode;
+    # on a cluster, ship the zip with --py-files and set the conf
+    # explicitly, or export SPARK_GRAFT_NO_DAEMON_PRELOAD=1 to opt out).
+    if not os.environ.get("SPARK_GRAFT_NO_DAEMON_PRELOAD") and \
+            os.path.isfile(os.path.join(_pkg_root, "ocr_image_to_text_spark",
+                                        "daemon_preload.py")):
+        b = b.config("spark.python.daemon.module",
+                     "ocr_image_to_text_spark.daemon_preload")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

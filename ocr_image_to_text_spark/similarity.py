@@ -5,9 +5,10 @@ query); the LSH-bucketed variant is the 100 TB scale path: random
 hyperplanes derived deterministically from md5 (no RNG), bucket self-join
 instead of a cross join, then exact re-rank within buckets.
 
-Cosine is computed JVM-side with zip_with + aggregate (no Python), cast to
-double, and rounded to 9 decimals before ranking so the Spark and DuckDB
-float paths order identically (ties broken by neighbor id).
+Cosine is computed JVM-side as a static codegen sum chain (`_dot` — no
+Python, no interpreted higher-order functions), cast to double, and rounded
+to 9 decimals before ranking so the Spark and DuckDB float paths order
+identically (ties broken by neighbor id).
 """
 
 from __future__ import annotations
@@ -38,23 +39,32 @@ def _dot(a, b, dim: int = EMB_DIM):
 
 def with_norm(df: DataFrame, col: str = "embedding", dim: int = EMB_DIM) -> DataFrame:
     e = F.col(col).cast("array<double>")
-    return df.withColumn("_e", e).withColumn(
-        "_norm", F.sqrt(_dot(F.col("_e"), F.col("_e"), dim)))
+    # Guard the static-chain width: a mismatched vector would otherwise
+    # yield NULL cosines and silently empty results. raise_error keeps the
+    # check inside the norm expression so column pruning can't drop it.
+    norm = F.when(F.size(F.col("_e")) == dim,
+                  F.sqrt(_dot(F.col("_e"), F.col("_e"), dim))) \
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"embedding dim != {dim}: got "),
+            F.size(F.col("_e")).cast("string"))))
+    return df.withColumn("_e", e).withColumn("_norm", norm)
 
 
-def cosine_topk(emb: DataFrame, n_queries: int = 20, k: int = 3) -> DataFrame:
+def cosine_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
+                dim: int = EMB_DIM) -> DataFrame:
     """Exact top-k neighbors for vec_id < n_queries (self excluded).
 
     Output: (query_id, rank, neighbor_id, cos_x1e9).
     """
-    base = with_norm(emb).select(F.col("vec_id"), "_e", "_norm")
+    base = with_norm(emb, dim=dim).select(F.col("vec_id"), "_e", "_norm")
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe"),
         F.col("_norm").alias("_qnorm"))
     joined = (
         base.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", _dot(F.col("_e"), F.col("_qe")) / (F.col("_norm") * F.col("_qnorm")))
+        .withColumn("cos", _dot(F.col("_e"), F.col("_qe"), dim)
+                    / (F.col("_norm") * F.col("_qnorm")))
         .withColumn("cos_r", F.round(F.col("cos"), 9))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("vec_id"))
@@ -71,7 +81,7 @@ def cosine_topk(emb: DataFrame, n_queries: int = 20, k: int = 3) -> DataFrame:
 
 
 def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.35,
-                     n_blocks: int | None = None) -> DataFrame:
+                     n_blocks: int | None = None, dim: int = EMB_DIM) -> DataFrame:
     """Near-duplicate pairs by exact all-pairs cosine — fully distributed
     block join, no driver collect and no full-corpus broadcast.
 
@@ -87,14 +97,14 @@ def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.35,
     hyperplane-bucket join is the approximate path when O(n²) itself is
     unaffordable.
 
-    The cosine is the element-sequential JVM fold (`aggregate(zip_with)`)
-    — bit-identical to the DuckDB oracle's generate_series fold — rounded
-    to 9 decimals before thresholding.
+    The cosine is the element-sequential static codegen chain (`_dot`) —
+    the same left-to-right IEEE fold as the DuckDB oracle's
+    generate_series sum — rounded to 9 decimals before thresholding.
     Output: (vec_a, vec_b, cos_x1e9), vec_a < vec_b.
     """
     spark = emb.sparkSession
     B = n_blocks or min(spark.sparkContext.defaultParallelism, 32)
-    base = with_norm(emb).select(
+    base = with_norm(emb, dim=dim).select(
         "vec_id", "_e", "_norm",
         F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("blk"))
     a = base.select(
@@ -117,7 +127,8 @@ def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.35,
                 | (F.col("vec_a") < F.col("vec_b")))
         .filter(F.col("vec_a") != F.col("vec_b"))
         .withColumn("cos_r", F.round(
-            _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")), 9))
+            _dot(F.col("_ea"), F.col("_eb"), dim)
+            / (F.col("_na") * F.col("_nb")), 9))
     )
     return (
         joined.filter(F.col("cos_r") >= threshold)
@@ -268,7 +279,8 @@ def lsh_bucket_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
         b.join(q, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cos_r", F.round(
-            _dot(F.col("_e"), F.col("_qe")) / (F.col("_norm") * F.col("_qnorm")), 9))
+            _dot(F.col("_e"), F.col("_qe"), dim)
+            / (F.col("_norm") * F.col("_qnorm")), 9))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("vec_id"))
     return (

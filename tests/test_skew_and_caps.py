@@ -86,3 +86,24 @@ def test_oversized_payload_cap_logged_not_silent(spark, tmp_path):
     assert got_turns == n_keep         # rollup holds exactly the kept turns
     roll = spark.read.parquet(os.path.join(out, "rollup"))
     assert roll.count() == n_keep
+
+
+def test_resume_rejects_changed_settings(spark, tmp_path):
+    """Resuming into an existing --out with a different extras/variant
+    would mix schemas in the committed stage/rollup dirs — must refuse."""
+    import pytest
+
+    tpath = ensure_transcripts("t1")
+    out = str(tmp_path / "job")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extract_job(spark, tpath, out, n_buckets=4, wave_size=2,
+                        fail_after_waves=1)  # leaves a partial manifest
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_extract_job(spark, tpath, out, n_buckets=4, wave_size=2,
+                        extras=True)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_extract_job(spark, tpath, out, n_buckets=4, wave_size=2,
+                        variant="v1")
+    # unchanged settings resume fine
+    s = run_extract_job(spark, tpath, out, n_buckets=4, wave_size=2)
+    assert s["resumed_parts"] == 2
