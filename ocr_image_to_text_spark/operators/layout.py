@@ -41,11 +41,35 @@ def _assemble(texts: list, order: np.ndarray, line_id: np.ndarray) -> str:
     return "\n".join(out)
 
 
-def layout_v1(polys: np.ndarray, texts: list) -> str:
-    """polys: (n, 4, 2) float64."""
+# Below this size the per-call numpy overhead (array construction +
+# many tiny kernel launches) costs ~3.6x the work itself (measured at the
+# bench tier's median 15 tokens/turn); the listwise path is the same
+# gaps-and-islands structure without ndarray round-trips. Large skewed
+# turns (the north_rule case) keep the vectorized path.
+SMALL_N = 64
+
+
+def layout_v1(polys, texts: list) -> str:
+    """polys: (n, 4, 2) float64 ndarray OR nested lists."""
     n = len(texts)
     if n == 0:
         return ""
+    if n < SMALL_N:
+        y0 = [p[0][1] for p in polys]
+        order = sorted(range(n), key=lambda i: y0[i])
+        top_y = [min(pt[1] for pt in polys[i]) for i in order]
+        x0 = [polys[i][0][0] for i in order]
+        line_id = [0] * n
+        lid = 0
+        for j in range(1, n):
+            if abs(top_y[j] - top_y[j - 1]) > 20:
+                lid += 1
+            line_id[j] = lid
+        final = sorted(range(n),
+                       key=lambda j: (line_id[j], x0[j], top_y[j], j))
+        return _assemble(texts, [order[j] for j in final],
+                         [line_id[j] for j in final])
+    polys = np.asarray(polys, dtype=np.float64)
     y0 = polys[:, 0, 1]
     order = np.argsort(y0, kind="stable")
     top_y = polys[:, :, 1].min(axis=1)[order]
@@ -59,10 +83,29 @@ def layout_v1(polys: np.ndarray, texts: list) -> str:
     return _assemble(texts, order[final], line_id[final])
 
 
-def layout_v2(polys: np.ndarray, texts: list, img_h: float, geometry: str = "easy") -> str:
+def layout_v2(polys, texts: list, img_h: float, geometry: str = "easy") -> str:
     n = len(texts)
     if n == 0:
         return ""
+    tol = max(10, img_h * 0.01)
+    if n < SMALL_N:
+        if geometry == "paddle":
+            cy = [(p[0][1] + p[3][1]) / 2 for p in polys]
+        else:
+            cy = [(p[0][1] + p[2][1]) / 2 for p in polys]
+        order = sorted(range(n), key=lambda i: cy[i])
+        cy_s = [cy[i] for i in order]
+        x0 = [polys[i][0][0] for i in order]
+        line_id = [0] * n
+        lid = 0
+        for j in range(1, n):
+            if abs(cy_s[j] - cy_s[j - 1]) > tol:
+                lid += 1
+            line_id[j] = lid
+        final = sorted(range(n), key=lambda j: (line_id[j], x0[j], j))
+        return _assemble(texts, [order[j] for j in final],
+                         [line_id[j] for j in final])
+    polys = np.asarray(polys, dtype=np.float64)
     if geometry == "paddle":
         cy = (polys[:, 0, 1] + polys[:, 3, 1]) / 2
     else:
@@ -70,7 +113,6 @@ def layout_v2(polys: np.ndarray, texts: list, img_h: float, geometry: str = "eas
     order = np.argsort(cy, kind="stable")
     cy_s = cy[order]
     x0 = polys[order, 0, 0]
-    tol = max(10, img_h * 0.01)
     breaks = np.zeros(n, dtype=np.int64)
     breaks[1:] = (np.abs(np.diff(cy_s)) > tol).astype(np.int64)
     line_id = np.cumsum(breaks)
@@ -79,10 +121,24 @@ def layout_v2(polys: np.ndarray, texts: list, img_h: float, geometry: str = "eas
     return _assemble(texts, order[final], line_id[final])
 
 
-def layout_v3(polys: np.ndarray, texts: list) -> str:
+def layout_v3(polys, texts: list) -> str:
     n = len(texts)
     if n == 0:
         return ""
+    if n < SMALL_N:
+        order = sorted(range(n),
+                       key=lambda i: (polys[i][0][1], polys[i][0][0], i))
+        ys = [polys[i][0][1] for i in order]
+        line_id = [0] * n
+        anchor = ys[0]
+        lid = 0
+        for i in range(1, n):
+            if abs(ys[i] - anchor) > 10:
+                lid += 1
+                anchor = ys[i]
+            line_id[i] = lid
+        return _assemble(texts, order, line_id)
+    polys = np.asarray(polys, dtype=np.float64)
     y0 = polys[:, 0, 1]
     x0 = polys[:, 0, 0]
     seq = np.arange(n)
@@ -100,15 +156,28 @@ def layout_v3(polys: np.ndarray, texts: list) -> str:
     return _assemble(texts, order, line_id)
 
 
-def table_flag_of(all_polys: np.ndarray) -> bool:
-    """A13 — src/ocr_module.py:516-540 even-spacing heuristic, vectorized.
+def table_flag_of(all_polys) -> bool:
+    """A13 — src/ocr_module.py:516-540 even-spacing heuristic.
 
     Computed over ALL detections (pre conf-filter), easy-geometry y centers
-    (:527); population std (np.std default, :536).
+    (:527); population std (np.std default, :536). Small turns use the
+    sequential-sum listwise path (the same fold order as the oracle —
+    safer at the std<mean/2 boundary than numpy's pairwise summation);
+    large turns vectorize.
     """
-    n = all_polys.shape[0]
+    n = len(all_polys)
     if n <= 10:
         return False
+    if n < SMALL_N:
+        cy = sorted((p[0][1] + p[2][1]) / 2 for p in all_polys)
+        diffs = [cy[i + 1] - cy[i] for i in range(n - 1)]
+        if len(diffs) <= 5:
+            return False
+        mean = sum(diffs) / len(diffs)
+        var = sum((d - mean) ** 2 for d in diffs) / len(diffs)
+        std = var ** 0.5
+        return bool(std < mean * 0.5 and std > 0)
+    all_polys = np.asarray(all_polys, dtype=np.float64)
     cy = np.sort((all_polys[:, 0, 1] + all_polys[:, 2, 1]) / 2)
     diffs = np.diff(cy)
     if diffs.size <= 5:
@@ -137,7 +206,9 @@ def extract_boxes_json(payload: str, variant: str = "v2", geometry: str = "easy"
     n_total = len(boxes)
     kept = [b for b in boxes if b[2] > conf_threshold]
     n_kept = len(kept)
-    tflag = table_flag_of(np.asarray([b[0] for b in boxes], dtype=np.float64)) if n_total else False
+    # raw nested lists go straight to the layout/table operators — they
+    # convert to ndarray only on the large-turn vectorized path
+    tflag = table_flag_of([b[0] for b in boxes]) if n_total else False
     flat = " ".join(b[1] for b in kept)
     if n_kept:
         total = 0.0
@@ -148,7 +219,7 @@ def extract_boxes_json(payload: str, variant: str = "v2", geometry: str = "easy"
         avg_x1e9 = 0
     if n_kept == 0:
         return "", 0, n_total, tflag, flat, avg_x1e9
-    polys = np.asarray([b[0] for b in kept], dtype=np.float64)
+    polys = [b[0] for b in kept]
     texts = [b[1] for b in kept]
     if variant == "v1":
         text = layout_v1(polys, texts)

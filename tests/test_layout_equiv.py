@@ -88,3 +88,28 @@ def test_cleaning_idempotent_on_ascii():
 def test_cleaning_non_idempotence_documented():
     # pin the bug-faithful behavior so a "fix" would be caught
     assert pyref.preprocess_text("a 中 b") == "a  b"
+
+
+@pytest.mark.parametrize("n", [63, 64, 65, 300])
+@pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
+def test_small_and_large_paths_agree_with_oracle(n, variant):
+    """The listwise small-turn fast path and the vectorized large-turn
+    path (threshold layout.SMALL_N) must both equal the oracle."""
+    rng = random.Random(1000 + n)
+    boxes = []
+    for i in range(n):
+        x = rng.uniform(0, 800)
+        y = rng.uniform(0, 600)
+        w = rng.uniform(5, 40)
+        h = rng.uniform(5, 14)
+        conf = rng.uniform(0.0, 1.0)
+        boxes.append([[[x, y], [x + w, y], [x + w, y + h], [x, y + h]],
+                      f"w{i}", conf])
+    payload = json.dumps({"h": 600, "w": 800, "boxes": boxes})
+    obj = json.loads(payload)
+    kept = pyref.conf_filter(obj["boxes"])
+    want = pyref.format_with_layout(kept, obj["h"], variant)
+    got = extract_boxes_json(payload, variant)
+    assert got[0] == want
+    assert got[3] == pyref.detect_table_spacing(
+        [(b[0][0][1] + b[0][2][1]) / 2 for b in obj["boxes"]])
