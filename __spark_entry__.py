@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_html": q.doc_html,
         "qa_fallback_x15": q.qa_fallback_x15,
         "qa_answer_x14": q.qa_answer_x14,
+        "rag_fallback_pipeline": q.rag_fallback_pipeline,
         "boxes_avg_conf": q.boxes_avg_conf,
         "extract_metrics_cube": q.extract_metrics_cube,
         "doc_keyword_topk_x5": q.doc_keyword_topk_x5,
@@ -358,6 +359,9 @@ def oracle_sql() -> dict[str, str]:
         "qa_answer_x14": f"""
             SELECT doc_id, query_kind, answer
             FROM read_parquet('{_g("qa_x14")}')""",
+        "rag_fallback_pipeline": f"""
+            SELECT doc_id, answer, conf_x1e6
+            FROM read_parquet('{_g("rag")}')""",
         "boxes_avg_conf": f"""
             SELECT conv_id, turn_idx, avg_conf_x1e9
             FROM read_parquet('{_g("avg_conf")}')""",

@@ -260,6 +260,49 @@ def ensure_media_golden(sf_dir: str) -> dict[str, str]:
     return paths
 
 
+RAG_NO_TEXT = "No text available to answer the question."
+RAG_NOT_FOUND = "Couldn't find relevant information to answer the question."
+
+
+def ensure_rag_golden(sf_dir: str, query: str) -> str:
+    """End-to-end fallback-RAG golden: the exact _fallback_qa composition
+    (ocr_app/rag/rag_processor.py:114-165) — X3 chunks → X5 keyword top-k
+    (keyword_search incl. normalization + 0.1 fallback and the
+    argsort[-k:][::-1] tie order) → X14 answer over the best chunk,
+    confidence = the best chunk's normalized score."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    tier = tier_for_sf_dir(sf_dir)
+    path = golden_path(tier, "rag")
+    if os.path.exists(path):
+        return path
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        chunks = pyref.split_text_into_chunks(text or "")
+        if not chunks:
+            rows.append({"doc_id": doc_id, "answer": RAG_NO_TEXT,
+                         "conf_x1e6": 0})
+            continue
+        top = pyref.keyword_search(query, chunks, k=5)
+        if not top:
+            rows.append({"doc_id": doc_id, "answer": RAG_NOT_FOUND,
+                         "conf_x1e6": 0})
+            continue
+        best_chunk, best_score = top[0]
+        answer = pyref.extract_answer_from_context(query, best_chunk)
+        rows.append({"doc_id": doc_id, "answer": answer,
+                     "conf_x1e6": int(math.floor(best_score * 1e6 + 0.5))})
+    _write(path, rows, pa.schema([
+        ("doc_id", pa.int64()), ("answer", pa.string()),
+        ("conf_x1e6", pa.int64())]))
+    return path
+
+
 AVG_CONF_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", _I32),

@@ -512,6 +512,56 @@ def chunk_l2_topk(spark, sf_dir):
                                     CHUNK_RETRIEVAL_QUERY, k=5)
 
 
+RAG_QUERY = "what is the spark data engine quality"
+
+
+def rag_fallback_pipeline(spark, sf_dir, k: int = 5):
+    """End-to-end deterministic RAG over each document — the reference's
+    full fallback flow in ONE query (_fallback_qa,
+    ocr_app/rag/rag_processor.py:114-165): X3 chunking → X5 keyword
+    ranking (normalized, 0.1 all-zero fallback, argsort[-k:][::-1] tie
+    order → best = max score, larger chunk_idx on ties) → X14 answer
+    extraction over the best chunk; confidence = best normalized score.
+
+    Scale shape: chunker UDF + posexplode, per-doc window (partitioned by
+    doc_id — never global), X14 UDF only on the one best chunk per doc,
+    left join back to catch no-chunk docs. Oracle = pyref composition
+    golden (golden.ensure_rag_golden)."""
+    import re as _re
+
+    from .golden import RAG_NO_TEXT, ensure_rag_golden
+    from .operators.chunker import split_chunks_udf
+    from .qa import make_x14_udf
+    from .transcripts import tier_for_sf_dir
+
+    if tier_for_sf_dir(sf_dir) != "bench":
+        ensure_rag_golden(sf_dir, RAG_QUERY)
+    qwords = sorted(set(_re.findall(r"\w+", RAG_QUERY.lower())))
+
+    docs = _docs(spark, sf_dir)
+    chunks = (docs.select(
+        "doc_id",
+        F.posexplode(split_chunks_udf(F.coalesce(F.col("text"), F.lit(""))))
+        .alias("chunk_idx", "chunk")))
+    raw = textfn.keyword_score_x5_col(F.col("chunk"), qwords)
+    wd = Window.partitionBy("doc_id")
+    scored = (chunks.withColumn("raw", raw)
+              .withColumn("mx", F.max("raw").over(wd))
+              .withColumn("rn", F.row_number().over(
+                  wd.orderBy(F.desc("raw"), F.desc("chunk_idx")))))
+    best = (scored.filter(F.col("rn") == 1)
+            .withColumn("conf",
+                        F.when(F.col("mx") > 0, F.col("raw") / F.col("mx"))
+                        .otherwise(F.lit(0.1)))
+            .withColumn("answer", make_x14_udf(RAG_QUERY)(F.col("chunk")))
+            .select("doc_id", "answer", "conf"))
+    return (docs.select("doc_id").join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("answer"), F.lit(RAG_NO_TEXT)).alias("answer"),
+                    F.floor(F.coalesce(F.col("conf"), F.lit(0.0)) * 1e6 + F.lit(0.5))
+                    .cast("long").alias("conf_x1e6")))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (real BMP/PPM/WAV decode; oracle = numpy-free mmref golden)
 # ---------------------------------------------------------------------------
