@@ -104,7 +104,8 @@ class _Collector(HTMLParser):
 # to the stdlib parser, so semantics can never diverge — the fast path
 # only ever handles inputs where it is provably equivalent:
 #   * no '&' anywhere (charref conversion stays stdlib-only)
-#   * every '<' starts a tag matching _TAG_RE (no comments/doctype/PI,
+#   * every '<' starts a tag matching _START_RE/_END_RE (no comments/
+#     doctype/PI,
 #     no stray '<', no unterminated tags)
 #   * <script>/<style> content is RAWDATA up to the real end tag
 #     (matching HTMLParser's CDATA_CONTENT_ELEMENTS — noscript is NOT
@@ -114,15 +115,25 @@ class _Collector(HTMLParser):
 # Equivalence is pinned by tests/test_htmlx_fast.py (fixtures + fuzz).
 # ---------------------------------------------------------------------------
 
-# Attrs are LAZY so a '/' is claimed by the self-close group only when
-# it directly precedes '>' after whitespace/quotes — mirroring CPython's
-# `end.strip() == '/>'` rule ('<a href=b/>' is a PLAIN start tag with
-# value 'b/', while '<br />' is a startend tag). Unquoted values never
-# swallow quotes ('<' '>' '"' "'" all bail or bind to the alternations).
-_TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)"      # closing flag + tag name
-    r"((?:\s+[^<>\"']*|\"[^\"]*\"|'[^']*')*?)"  # attrs (quoted > ok)
+# Attribute grammar mirrors CPython's attrfind_tolerant: a quoted span is
+# honored ONLY in attribute-VALUE position (after '='). A bare quote
+# anywhere else fails the match and bails — CPython would end the tag at
+# the first '>' there (e.g. "<b '>'>" is tag `b` + data "'>'"), so letting
+# the quote span '>' silently diverges (round-2 fuzz counterexample).
+# The bare-value class INCLUDES '/' because CPython's bare value [^>\s]*
+# greedily eats it: '<a href=b/>' is a PLAIN start tag with value 'b/',
+# while '<br />' is a startend tag ('/' only self-closes when the attr
+# grammar leaves it directly before '>').
+_START_RE = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"           # tag name (CPython tagfind class)
+    r"((?:\s+[^\s<>\"'=/]+"                     # attr name
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s<>\"']*))?)*)"  # quotes only after =
     r"\s*(/?)>")
+# End tags accept NO attributes: CPython's tolerant parse_endtag resumes
+# after the FIRST '>' even when a quoted value contains one ("</p a='>'>")
+# — a spanning regex would resume later and diverge, so anything beyond
+# `</name [/]>` bails to the stdlib parser.
+_END_RE = re.compile(r"</([a-zA-Z][^\t\n\r\f />\x00]*)\s*/?>")
 _BAIL = re.compile(r"&|<[^a-zA-Z/]|</(?![a-zA-Z])")
 _CDATA_CLOSE = {
     t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in ("script", "style")
@@ -142,14 +153,18 @@ def _scan_fast(s: str, c: "_Collector") -> bool:
             break
         if lt > pos:
             c.handle_data(s[pos:lt])
-        m = _TAG_RE.match(s, lt)
+        if s.startswith("</", lt):
+            me = _END_RE.match(s, lt)
+            if not me:
+                return False
+            c.handle_endtag(me.group(1).lower())
+            pos = me.end()
+            continue
+        m = _START_RE.match(s, lt)
         if not m:
             return False
-        closing, name, selfclose = m.group(1), m.group(2).lower(), m.group(4)
+        name, selfclose = m.group(1).lower(), m.group(3)
         pos = m.end()
-        if closing:
-            c.handle_endtag(name)
-            continue
         c.handle_starttag(name, ())
         if selfclose:
             c.handle_endtag(name)
@@ -158,8 +173,8 @@ def _scan_fast(s: str, c: "_Collector") -> bool:
             if not mc:
                 return False  # unterminated rawdata → stdlib semantics
             c.handle_data(s[pos:mc.start()])
-            me = _TAG_RE.match(s, mc.start())
-            if not me or not me.group(1) or me.group(2).lower() != name:
+            me = _END_RE.match(s, mc.start())
+            if not me or me.group(1).lower() != name:
                 return False
             c.handle_endtag(name)
             pos = me.end()

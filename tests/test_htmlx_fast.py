@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import random
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from ocr_image_to_text_spark.operators.htmlx import (
@@ -68,6 +68,20 @@ EDGES = [
     "<a-b>custom tag</a-b>",
     "text only, no tags at all",
     "",
+    # round-2 fuzz counterexamples — quotes OUTSIDE attr-value position.
+    # CPython honors quotes only after '='; these must bail (never span '>').
+    "<b '>'>",                   # bare quoted run: CPython = tag b + data "'>'"
+    '<p a">">x</p>',             # quote glued to attr name
+    "<a href=\"x\" 'y'>t</a>",   # quoted run after a real attr
+    "</p a='>'>tail",            # end tag with quoted attr: CPython stops at first >
+    "<i ='v'>eq first</i>",      # '=' with no attr name
+    "<a b=c'd>e</a>",            # quote mid bare value
+    # '/'-vs-selfclose family (must classify exactly like CPython)
+    "<a href=b />x</a>",         # bare value then SPACE slash: startend
+    "<a b/>x",                   # attr name then '/>': startend
+    "<a / >x",                   # slash amid trailing ws: CPython plain start — bail
+    "<a href=>empty val</a>",
+    "<a href= b>spaced eq</a>",
 ]
 
 
@@ -104,6 +118,11 @@ _SOUP = st.lists(
 
 
 @given(_SOUP)
+@example("<b '>'>")          # saved 2026-08-17 fuzz counterexample (round 2)
+@example('<p a">">x</p>')
+@example("</p a='>'>tail")
+@example("<a href=b/>x</a>")
+@example("<a b=c'd>e</a>")
 @settings(max_examples=1500, deadline=None)
 def test_fuzz_fast_equals_stdlib_when_accepted(s):
     ok, fast, ref = _both(s)
