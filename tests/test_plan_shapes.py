@@ -50,6 +50,26 @@ def test_topk_plans_use_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_minhash_lsh_single_signature_evaluation(spark):
+    """The shingle+minhash subtree is evaluated ONCE per doc: band rows
+    come from a single explode over the cached signature frame, and the
+    self-join / verify branches read InMemoryTableScans. The round-2
+    shape (bands-way unionByName over an unpersisted sig frame) showed
+    one full md5-minhash subtree per band in the executed plan."""
+    from ocr_image_to_text_spark import queries as q
+
+    plan = _plan(q.dedup_minhash_lsh(spark, SF))
+    # All four consumers (2 band-join sides, 2 verify sides) hit the
+    # cache; the shingle+md5 subtree lines that toString() prints under
+    # each scan are the cached relation's ONE-TIME build plan, displayed
+    # per scan, not re-executed.
+    assert plan.count("InMemoryTableScan") >= 4, plan[:3000]
+    # Band emission is one explode per join branch, never a union of
+    # per-band projections (each of which re-ran the signature subtree).
+    assert "Union" not in plan
+    assert plan.count("Generate explode(array(struct(band") == 2, plan[:3000]
+
+
 def test_emb_dup_pairs_is_distributed(spark):
     """No driver collect: the all-pairs cosine is a block equi-join.
     LocalTableScan / ExistingRDD in the plan would betray a toPandas
