@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_modern": q.chunks_modern,
         # --- documents analytics (SURVEY §2.8) ---
         "doc_entities": q.doc_entities,
+        "doc_entities_seeded": q.doc_entities_seeded,
         "doc_lang": q.doc_lang,
         "doc_lang_ngram": q.doc_lang_ngram,
         "doc_stats": q.doc_stats,
@@ -249,6 +250,28 @@ def oracle_sql() -> dict[str, str]:
                    unnest(regexp_extract_all(text, '\b(?:\+\d{1,3}[- ]?)?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b')) FROM documents
             UNION ALL SELECT doc_id, 'url',
                    unnest(regexp_extract_all(text, 'https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+')) FROM documents""",
+        # Same five regexes over a deterministically seeded corpus so the
+        # driver row is NON-vacuous (every pattern yields >=1 row per doc).
+        "doc_entities_seeded": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' Contact user' || doc_id
+                          || '@example.com on 12/05/2024 or 2024-05-12 '
+                          || 'or Jan 5, 2024; call +1 (555) 123-4567; '
+                          || 'see https://d' || doc_id || '.example.com' AS text
+              FROM documents)
+            SELECT doc_id, 'date' entity_type,
+                   unnest(regexp_extract_all(text, '\b\d{1,2}[/-]\d{1,2}[/-]\d{2,4}\b')) entity FROM seeded
+            UNION ALL SELECT doc_id, 'date',
+                   unnest(regexp_extract_all(text, '\b\d{4}[/-]\d{1,2}[/-]\d{1,2}\b')) FROM seeded
+            UNION ALL SELECT doc_id, 'date',
+                   unnest(regexp_extract_all(text, '(?i)\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{1,2},? \d{4}\b')) FROM seeded
+            UNION ALL SELECT doc_id, 'email',
+                   unnest(regexp_extract_all(text, '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b')) FROM seeded
+            UNION ALL SELECT doc_id, 'phone',
+                   unnest(regexp_extract_all(text, '\b(?:\+\d{1,3}[- ]?)?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b')) FROM seeded
+            UNION ALL SELECT doc_id, 'url',
+                   unnest(regexp_extract_all(text, 'https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+')) FROM seeded""",
         "doc_lang": r"""
             SELECT doc_id, CASE
                 WHEN length(text) < 20 THEN 'en'

@@ -242,11 +242,10 @@ def chunks_modern(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def doc_entities(spark, sf_dir):
+def _entities_over(docs):
     """X7 — one scan: the four entity families become one concatenated
     array of (entity_type, entity) structs exploded once, instead of a
     4-branch union that reads the table four times."""
-    docs = _docs(spark, sf_dir)
 
     def tag(et):
         # NB: the lambda must be unary — a second parameter would make
@@ -260,6 +259,32 @@ def doc_entities(spark, sf_dir):
     return (docs.select("doc_id", F.explode(tagged).alias("s"))
             .select("doc_id", F.col("s.entity_type").alias("entity_type"),
                     F.col("s.entity").alias("entity")))
+
+
+def doc_entities(spark, sf_dir):
+    return _entities_over(_docs(spark, sf_dir))
+
+
+# Deterministic per-doc suffix exercising ALL FIVE X7 patterns
+# (ocr_app/utils/text_utils.py:208-230): date slash + date ISO + date
+# month-name, email, phone, url. The driver's documents corpus carries no
+# natural entities, so plain doc_entities is vacuously green (0 rows both
+# sides, VERDICT r2 #2); this seeded twin makes the driver-level oracle
+# bite — a regex regression now fails the hash, not just a unit test.
+ENTITY_SEED_FMT = (" Contact user%d@example.com on 12/05/2024 or 2024-05-12 "
+                   "or Jan 5, 2024; call +1 (555) 123-4567; "
+                   "see https://d%d.example.com")
+
+
+def doc_entities_seeded(spark, sf_dir):
+    """X7 over a deterministically entity-seeded derivation of documents;
+    the DuckDB oracle constructs the identical text and restates the five
+    regexes independently, so the row values certify every pattern."""
+    docs = _docs(spark, sf_dir)
+    seeded = F.concat(
+        F.col("text"),
+        F.format_string(ENTITY_SEED_FMT, F.col("doc_id"), F.col("doc_id")))
+    return _entities_over(docs.select("doc_id", seeded.alias("text")))
 
 
 def doc_lang(spark, sf_dir):

@@ -63,3 +63,30 @@ def test_entities_positive_three_way(spark):
     sql = entry.oracle_sql()["doc_entities"]
     got_duck = sorted(tuple(r) for r in con.sql(sql).fetchall())
     assert got_duck == want
+
+
+def test_entities_seeded_driver_query_nonvacuous(spark, tmp_path):
+    """The driver-level seeded query yields every entity family for every
+    doc — all FIVE X7 patterns (3 date + email + phone + url) produce a
+    row, and the Spark result equals the DuckDB oracle twin."""
+    import __spark_entry__ as entry
+    from ocr_image_to_text_spark import queries as q
+
+    pdf = pd.DataFrame({"doc_id": [0, 1, 7],
+                        "text": ["plain body", "", "more text"]})
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet")
+
+    rows = sorted(tuple(r) for r in q.doc_entities_seeded(spark, sf).collect())
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(tuple(r)
+                  for r in con.sql(entry.oracle_sql()["doc_entities_seeded"]).fetchall())
+    assert rows == want
+    # 6 entities per doc: slash-date, iso-date, monthname-date, email,
+    # phone, url — every X7 pattern contributes.
+    assert len(rows) == 3 * 6
+    by_type = {t for _, t, _ in rows}
+    assert by_type == {"date", "email", "phone", "url"}
+    assert ("7", "email", "user7@example.com") in {(str(d), t, e) for d, t, e in rows}
