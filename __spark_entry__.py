@@ -187,6 +187,9 @@ def _lang_ngram_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from ocr_image_to_text_spark.dedup import simhash_expr_sql
+    from ocr_image_to_text_spark.operators.fingerprint import (
+        fingerprint_sql_duckdb as _fingerprint_sql,
+    )
     from ocr_image_to_text_spark.queries import CHUNK_RETRIEVAL_QUERY
     from ocr_image_to_text_spark.similarity import chunk_l2_sql_duckdb
 
@@ -418,19 +421,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END as bigint) n_ws_tokens,
                    cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) as bigint) n_bpe_tokens
             FROM documents""",
-        "doc_fingerprints": r"""
-            WITH g AS (SELECT doc_id,
-                    list_transform(generate_series(1, greatest(length(text) - 6, 1)),
-                                   i -> md5(substr(text, cast(i as int), 7))) grams
-                FROM documents),
-            wn AS (SELECT doc_id,
-                    list_distinct(list_transform(generate_series(1, greatest(len(grams) - 3, 1)),
-                                  j -> list_aggregate(list_slice(grams, j, j + 3), 'min'))) fps
-                FROM g)
-            SELECT doc_id, cast(len(fps) as bigint) n_fp,
-                   list_aggregate(fps, 'min') min_fp,
-                   list_aggregate(fps, 'max') max_fp
-            FROM wn""",
+        # Generated from the SAME spec constants as the numpy kernel
+        # (ocr_image_to_text_spark/operators/fingerprint.py) — rolling
+        # Horner hash, not md5, so the kernel is vectorizable.
+        "doc_fingerprints": _fingerprint_sql(),
         "dedup_exact": """
             SELECT md5(text) text_hash, count(*) n_docs,
                    cast(min(doc_id) as bigint) keep_doc_id

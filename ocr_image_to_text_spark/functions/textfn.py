@@ -229,27 +229,6 @@ def token_count_cols(text: Column) -> list[Column]:
 
 
 # --- winnowing document fingerprint (training-data op) -------------------------
-
-
-def fingerprint_cols(text: Column, k: int = 7, w: int = 4) -> list[Column]:
-    """Winnowing (Schleimer et al., SIGMOD'03) over char k-grams.
-
-    Gram hash = md5 hex (lexicographic order); window minimum; distinct set.
-    String-ordered md5 keeps the Spark and DuckDB twins byte-identical.
-    """
-    n = F.length(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda i: F.md5(text.substr(i, F.lit(k))),
-    )
-    n_g = F.size(grams)
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_g - w + 1, F.lit(1))),
-        lambda j: F.array_min(F.slice(grams, j, w)),
-    )
-    fps = F.array_distinct(wins)
-    return [
-        F.size(fps).cast("long").alias("n_fp"),
-        F.array_min(fps).alias("min_fp"),
-        F.array_max(fps).alias("max_fp"),
-    ]
+# Lives in operators/fingerprint.py (numpy rolling-hash kernel + generated
+# DuckDB twin from one spec). The former md5-expression variant here was
+# removed with the round-3 spec change so the spec exists in one place.
