@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs": q.emb_dup_pairs,
         "ann_lsh_topk": q.ann_lsh_topk,
         "chunk_l2_topk": q.chunk_l2_topk,
+        "chunk_cosine_topk": q.chunk_cosine_topk,
         # --- multimodal (real BMP/PPM/WAV decode) ---
         "media_image_features": q.media_image_features,
         "media_audio_features": q.media_audio_features,
@@ -191,7 +192,10 @@ def oracle_sql() -> dict[str, str]:
         fingerprint_sql_duckdb as _fingerprint_sql,
     )
     from ocr_image_to_text_spark.queries import CHUNK_RETRIEVAL_QUERY
-    from ocr_image_to_text_spark.similarity import chunk_l2_sql_duckdb
+    from ocr_image_to_text_spark.similarity import (
+        chunk_cosine_sql_duckdb,
+        chunk_l2_sql_duckdb,
+    )
 
     sigs = ",\n          ".join(
         f"list_aggregate(list_transform(shs, s -> md5('{i}:' || s)), 'min') mh{i}"
@@ -480,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cos_r DESC, neighbor_id) rank FROM j)
             WHERE rank <= 3""",
         "chunk_l2_topk": chunk_l2_sql_duckdb(_g("chunks"), CHUNK_RETRIEVAL_QUERY, k=5),
+        "chunk_cosine_topk": chunk_cosine_sql_duckdb(_g("chunks"), CHUNK_RETRIEVAL_QUERY, k=5),
         "emb_dup_pairs": f"""
             WITH {_EMB_NORM},
             j AS (SELECT a.vec_id va, b.vec_id vb,

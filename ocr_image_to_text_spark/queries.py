@@ -537,6 +537,14 @@ def chunk_l2_topk(spark, sf_dir):
                                     CHUNK_RETRIEVAL_QUERY, k=5)
 
 
+def chunk_cosine_topk(spark, sf_dir):
+    """_embedding_search analog (ocr_app/utils/text_utils.py:157-169):
+    raw-dot-product chunk retrieval over the X3 chunks — the reference's
+    second embedding path, bug-faithfully unnormalized."""
+    return similarity.chunk_cosine_topk(chunks_modern(spark, sf_dir),
+                                        CHUNK_RETRIEVAL_QUERY, k=5)
+
+
 RAG_QUERY = "what is the spark data engine quality"
 
 

@@ -232,6 +232,71 @@ def chunk_l2_sql_duckdb(chunks_parquet: str, query_text: str, k: int = 5,
     FROM d ORDER BY dist_r, conv_id, turn_idx, chunk_idx LIMIT {k}"""
 
 
+def chunk_cosine_topk(chunks: DataFrame, query_text: str, k: int = 5,
+                      dim: int = 16) -> DataFrame:
+    """The reference's SECOND embedding retrieval path: `_embedding_search`
+    (ocr_app/utils/text_utils.py:157-169) — `np.dot(chunk_embeddings,
+    query_embedding)` ranked by `np.argsort(sim)[-k:][::-1]`.
+
+    Bug-faithful: despite its "cosine similarity" comment the reference
+    never divides by the norms — the score IS the raw dot product, and
+    this port keeps that. Ties follow argsort's stable ascending order
+    reversed: at equal score the LARGER flat chunk index wins (both for
+    inclusion at the k boundary and for rank order), i.e. DESC on
+    (conv_id, turn_idx, chunk_idx). Same deterministic md5 embedding and
+    TakeOrderedAndProject shape as chunk_l2_topk (src/utils.py twin).
+    Output: (rank, conv_id, turn_idx, chunk_idx, dot_x1e9).
+    """
+    qvec = embed_text_py(query_text, dim)
+    dot = None
+    for d in range(dim):
+        t = _embed_term(F.col("chunk"), d) * F.lit(qvec[d])
+        dot = t if dot is None else dot + t
+    order = [F.desc("dot_r"), F.desc("conv_id"), F.desc("turn_idx"),
+             F.desc("chunk_idx")]
+    top = (chunks.withColumn("dot_r", F.round(dot, 9))
+           .orderBy(*order).limit(k))
+    return (top.withColumn("rank", F.row_number().over(Window.orderBy(*order))
+                           .cast("long"))
+            .select("rank", "conv_id", "turn_idx",
+                    F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                    F.floor(F.col("dot_r") * 1e9 + F.lit(0.5)).cast("long")
+                    .alias("dot_x1e9")))
+
+
+def chunk_cosine_sql_duckdb(chunks_parquet: str, query_text: str, k: int = 5,
+                            dim: int = 16) -> str:
+    """DuckDB twin of chunk_cosine_topk (same md5 embedding restatement
+    and left-assoc dot fold in ascending dimension order)."""
+    qvec = embed_text_py(query_text, dim)
+    hex_cols = ",\n           ".join(
+        f"substr(md5('{d}:' || chunk), 1, 8) h{d}" for d in range(dim))
+
+    def nib(d: int) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr(h{d}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8))
+
+    val_cols = ",\n           ".join(
+        f"((cast({nib(d)} as double) / 2147483647.0 - 1.0) * ({qvec[d]!r})) t{d}"
+        for d in range(dim))
+    dot = " + ".join(f"t{d}" for d in range(dim))
+    return f"""
+    WITH c AS (SELECT conv_id, turn_idx, chunk_idx, chunk,
+           {hex_cols}
+           FROM read_parquet('{chunks_parquet}')),
+    v AS (SELECT conv_id, turn_idx, chunk_idx,
+           {val_cols}
+           FROM c),
+    d AS (SELECT conv_id, turn_idx, chunk_idx, round({dot}, 9) dot_r FROM v)
+    SELECT cast(row_number() OVER (ORDER BY dot_r DESC, conv_id DESC,
+                                   turn_idx DESC, chunk_idx DESC) as bigint) rank,
+           conv_id, turn_idx, cast(chunk_idx as bigint) chunk_idx,
+           cast(floor(dot_r * 1000000000 + 0.5) as bigint) dot_x1e9
+    FROM d ORDER BY dot_r DESC, conv_id DESC, turn_idx DESC, chunk_idx DESC
+    LIMIT {k}"""
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 (no RNG state)."""
     planes = []
