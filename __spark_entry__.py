@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal (real BMP/PPM/WAV decode) ---
         "media_image_features": q.media_image_features,
         "media_audio_features": q.media_audio_features,
+        "media_video_frames": q.media_video_frames,
         # --- events (streaming-adjacent batch ops) ---
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
@@ -501,6 +502,10 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_features": f"""
             SELECT media_id, duration_ms, rms_x1e9, zero_cross
             FROM read_parquet('{_g("media_audio")}')""",
+        "media_video_frames": f"""
+            SELECT media_id, frame_idx, ts_ms, mean_r_x1e6, mean_g_x1e6,
+                   mean_b_x1e6, phash
+            FROM read_parquet('{_g("media_video")}')""",
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') hour_bucket, event_type,
                    count(*) n_events,

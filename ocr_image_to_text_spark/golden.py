@@ -230,11 +230,12 @@ def ensure_media_golden(sf_dir: str) -> dict[str, str]:
 
     tier = tier_for_sf_dir(sf_dir)
     paths = {"media_image": golden_path(tier, "media_image"),
-             "media_audio": golden_path(tier, "media_audio")}
+             "media_audio": golden_path(tier, "media_audio"),
+             "media_video": golden_path(tier, "media_video")}
     if all(os.path.exists(p) for p in paths.values()):
         return paths
     rows = synthetic_media_rows(MEDIA_N_BY_TIER.get(tier, 60))
-    img_rows, aud_rows = [], []
+    img_rows, aud_rows, vid_rows = [], [], []
     for mid, kind, payload, (w, h, dur, _codec) in rows:
         if kind == "image":
             f = mmref.image_features_py(bytes(payload))
@@ -250,6 +251,15 @@ def ensure_media_golden(sf_dir: str) -> dict[str, str]:
                 "media_id": mid, "duration_ms": dur,
                 "rms_x1e9": int(math.floor(f["rms"] * 1e9 + 0.5)),
                 "zero_cross": f["zero_cross"]})
+        else:  # video: per-container-frame features via the stdlib AVI twin
+            for f in mmref.video_frame_features_py(bytes(payload)):
+                vid_rows.append({
+                    "media_id": mid, "frame_idx": f["frame_idx"],
+                    "ts_ms": f["ts_ms"],
+                    "mean_r_x1e6": int(math.floor(f["mean_r"] * 1e6 + 0.5)),
+                    "mean_g_x1e6": int(math.floor(f["mean_g"] * 1e6 + 0.5)),
+                    "mean_b_x1e6": int(math.floor(f["mean_b"] * 1e6 + 0.5)),
+                    "phash": f["phash"]})
     _write(paths["media_image"], img_rows, pa.schema([
         ("media_id", pa.int64()), ("width", _I32), ("height", _I32),
         ("mean_r_x1e6", pa.int64()), ("mean_g_x1e6", pa.int64()),
@@ -257,6 +267,10 @@ def ensure_media_golden(sf_dir: str) -> dict[str, str]:
     _write(paths["media_audio"], aud_rows, pa.schema([
         ("media_id", pa.int64()), ("duration_ms", _I32),
         ("rms_x1e9", pa.int64()), ("zero_cross", pa.int64())]))
+    _write(paths["media_video"], vid_rows, pa.schema([
+        ("media_id", pa.int64()), ("frame_idx", _I32), ("ts_ms", _I32),
+        ("mean_r_x1e6", pa.int64()), ("mean_g_x1e6", pa.int64()),
+        ("mean_b_x1e6", pa.int64()), ("phash", pa.int64())]))
     return paths
 
 

@@ -115,6 +115,102 @@ def image_features_py(payload: bytes) -> dict:
             "mean_b": sb / n_px, "phash": phash}
 
 
+def decode_avi_py(payload: bytes) -> tuple[list, int, int, int]:
+    """Uncompressed RIFF/AVI → (frames as rows of (r,g,b), w, h, usec).
+
+    Stdlib-only restatement of multimodal.decode_avi: RIFF chunk walk,
+    avih for timing/dims, 'vids' strh sanity, '00db' DIB rasters (BGR
+    bottom-up, 4-byte row padding) decoded with plain loops."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    usec = w = h = None
+    vids_ok = False
+    frames = []
+
+    def scan(pos: int, end: int) -> None:
+        nonlocal usec, w, h, vids_ok
+        while pos + 8 <= end:
+            fcc = payload[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            s = pos + 8
+            e = s + size
+            if fcc == b"LIST":
+                scan(s + 4, e)
+            elif fcc == b"avih":
+                vals = struct.unpack_from("<10I", payload, s)
+                usec, w, h = vals[0], vals[8], vals[9]
+            elif fcc == b"strh":
+                ftype, handler = struct.unpack_from("<4s4s", payload, s)
+                if ftype == b"vids":
+                    if handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+                        raise ValueError("unsupported codec")
+                    vids_ok = True
+            elif fcc == b"strf" and vids_ok:
+                _sz, _bw, _bh, _pl, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", payload, s)
+                if bpp != 24 or comp != 0:
+                    raise ValueError("unsupported DIB")
+            elif fcc in (b"00db", b"00dc"):
+                stride = w * 3 + (4 - (w * 3) % 4) % 4
+                img = [None] * h
+                for i in range(h):
+                    base = s + i * stride
+                    img[h - 1 - i] = [
+                        (payload[base + 3 * x + 2], payload[base + 3 * x + 1],
+                         payload[base + 3 * x])
+                        for x in range(w)]
+                frames.append(img)
+            pos = e + (size % 2)
+
+    scan(12, len(payload))
+    if usec is None or not vids_ok:
+        raise ValueError("missing AVI headers")
+    return frames, w, h, usec
+
+
+def _frame_features_py(img, w: int, h: int) -> dict:
+    """Channel means + integer 8x8 average hash over one frame's rows —
+    identical math to image_features_py's body."""
+    sr = sg = sb = 0
+    for row in img:
+        for r, g, b in row:
+            sr += r
+            sg += g
+            sb += b
+    n_px = w * h
+    hh, ww = (h // 8) * 8, (w // 8) * 8
+    block_sums = [[0] * 8 for _ in range(8)]
+    for y in range(hh):
+        by = y * 8 // hh
+        row = img[y]
+        for x in range(ww):
+            r, g, b = row[x]
+            block_sums[by][x * 8 // ww] += r + g + b
+    total = sum(sum(r) for r in block_sums)
+    unsigned = 0
+    i = 0
+    for by in range(8):
+        for bx in range(8):
+            if block_sums[by][bx] * 64 > total:
+                unsigned |= 1 << i
+            i += 1
+    phash = unsigned - (1 << 64) if unsigned >= (1 << 63) else unsigned
+    return {"mean_r": sr / n_px, "mean_g": sg / n_px, "mean_b": sb / n_px,
+            "phash": phash}
+
+
+def video_frame_features_py(payload: bytes) -> list:
+    """Per-container-frame features (multimodal.video_frame_features
+    semantics): one dict per frame with container timing."""
+    frames, w, h, usec = decode_avi_py(payload)
+    out = []
+    for i, img in enumerate(frames):
+        f = _frame_features_py(img, w, h)
+        f.update({"frame_idx": i, "ts_ms": i * usec // 1000})
+        out.append(f)
+    return out
+
+
 def audio_features_py(payload: bytes) -> dict:
     """RMS + zero crossings over PCM16 WAV samples, exact-integer sums."""
     with wave.open(io.BytesIO(payload), "rb") as wf:

@@ -12,8 +12,10 @@ decodable from first principles are real):
     here with struct/numpy. Unknown magics fall back to the clearly
     marked deterministic stub.
   * audio — REAL decode for PCM16 WAV via the stdlib `wave` module.
-  * video — STUBBED (every real container needs ffmpeg); the frame-sample
-    fan-out shape is the tested contract, frames are deterministic fakes.
+  * video — REAL decode for uncompressed RIFF/AVI ('vids'/'DIB ', 24-bit
+    BI_RGB '00db' frames) parsed from first principles like the BMP/WAV
+    codecs; compressed codecs (which would need ffmpeg) fall back to the
+    clearly marked deterministic stub in frame_sample.
 
 Scale notes: payloads dominate row size, so batches are kept small via a
 pre-UDF repartition on media_id and `spark.sql.execution.arrow.
@@ -230,24 +232,12 @@ def image_features(media: DataFrame, partitions: int | None = None) -> DataFrame
                 img = decode_image(bytes(payload), int(meta["width"]),
                                    int(meta["height"]))
                 h, w = img.shape[:2]
-                # channel means: integer sums are exact in float64 (< 2^53),
-                # so sum/n is bit-identical across implementations
-                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
-                n_px = h * w
-                # 8x8 average hash in PURE INTEGER arithmetic (crop to
-                # multiples of 8; bit b set iff block_sum · 64 > total_sum ·
-                # block_frac) — exact, so the numpy-free oracle (mmref.py)
-                # matches bit-for-bit
-                hh, ww = (h // 8) * 8, (w // 8) * 8
-                g3 = img[:hh, :ww].astype(np.int64).sum(axis=2)
-                blocks = g3.reshape(8, hh // 8, 8, ww // 8).sum(axis=(1, 3))
-                total = int(blocks.sum())
-                bits = (blocks.flatten() * 64 > total)
-                unsigned = sum(int(v) << i for i, v in enumerate(bits))
-                phash = unsigned - (1 << 64) if unsigned >= (1 << 63) else unsigned
-                rows.append((int(mid), w, h, float(sums[0] / n_px),
-                             float(sums[1] / n_px), float(sums[2] / n_px),
-                             phash))
+                # _frame_features: integer sums are exact in float64
+                # (< 2^53) and the 8x8 average hash is pure integer
+                # arithmetic, so the numpy-free oracle (mmref.py) matches
+                # bit-for-bit
+                mr, mg, mb, phash = _frame_features(img)
+                rows.append((int(mid), w, h, mr, mg, mb, phash))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
                 "phash"])
@@ -297,15 +287,123 @@ def image_resize(media: DataFrame, max_side: int = 256,
     return src.mapInPandas(gen, RESIZE_SCHEMA)
 
 
+# --- REAL video container (uncompressed RIFF/AVI, 'DIB ' raw frames) --------
+# Public format, same header+raster work as the BMP/WAV codecs above: a
+# RIFF('AVI ') tree with avih/strh/strf headers and '00db' frame chunks
+# holding 24-bit BGR rows bottom-up, row-padded to 4 bytes (identical to
+# the BMP raster). No compression, no ffmpeg needed. Reference analog:
+# the PDF page fan-out (ocr_app/core/ocr_engine.py:282-335) is the
+# per-frame explode this models.
+
+
+def _dib_raster(img: np.ndarray) -> bytes:
+    """24-bit DIB raster: BGR rows bottom-up, rows padded to 4 bytes."""
+    h, w, _ = img.shape
+    pad = (4 - (w * 3) % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += img[y, :, ::-1].tobytes()
+        body += b"\x00" * pad
+    return bytes(body)
+
+
+def _dib_undo(raster: bytes, w: int, h: int) -> np.ndarray:
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        line = np.frombuffer(raster, dtype=np.uint8, count=w * 3,
+                             offset=i * stride)
+        img[h - 1 - i] = line.reshape(w, 3)[:, ::-1]
+    return img
+
+
+def _chunk(fourcc: bytes, data: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) % 2))
+
+
+def _list(list_type: bytes, data: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + data)
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 4) -> bytes:
+    """Minimal uncompressed AVI writer ('vids'/'DIB ', 24-bit BI_RGB)."""
+    h, w, _ = frames[0].shape
+    usec = 1_000_000 // fps
+    raster_size = (w * 3 + (4 - (w * 3) % 4) % 4) * h
+    avih = struct.pack("<14I", usec, raster_size * fps, 0, 0, len(frames),
+                       0, 1, raster_size, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIII4h", b"vids", b"DIB ", 0, 0, 0, 0,
+                       1, fps, 0, len(frames), raster_size, 0xFFFFFFFF, 0,
+                       0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, raster_size,
+                       2835, 2835, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    movi = _list(b"movi", b"".join(_chunk(b"00db", _dib_raster(f))
+                                   for f in frames))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi(payload: bytes) -> tuple[list[np.ndarray], int]:
+    """Decode uncompressed AVI → (RGB frames, micro-sec per frame).
+
+    Accepts exactly the subset encode_avi writes (and any other writer of
+    plain 'vids'/BI_RGB 24-bit DIB AVIs); anything else raises."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+
+    def walk(data: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fcc = data[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            yield fcc, body_start, body_start + size
+            pos = body_start + size + (size % 2)
+
+    usec = w = h = None
+    frames: list[np.ndarray] = []
+    vids_ok = False
+
+    def scan(pos: int, end: int) -> None:
+        nonlocal usec, w, h, vids_ok
+        for fcc, s, e in walk(payload, pos, end):
+            if fcc == b"LIST":
+                scan(s + 4, e)
+            elif fcc == b"avih":
+                usec, _, _, _, _, _, _, _, w, h = struct.unpack_from(
+                    "<10I", payload, s)
+            elif fcc == b"strh":
+                ftype, handler = struct.unpack_from("<4s4s", payload, s)
+                if ftype == b"vids":
+                    if handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+                        raise ValueError(f"unsupported codec {handler!r}")
+                    vids_ok = True
+            elif fcc == b"strf" and vids_ok and not frames:
+                _sz, bw, bh, _pl, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", payload, s)
+                if bpp != 24 or comp != 0:
+                    raise ValueError(f"unsupported DIB (bpp={bpp}, comp={comp})")
+            elif fcc in (b"00db", b"00dc"):
+                frames.append(_dib_undo(payload[s:e], w, h))
+
+    scan(12, len(payload))
+    if usec is None or not vids_ok:
+        raise ValueError("missing AVI headers")
+    return frames, usec
+
+
 FRAMES_SCHEMA = "media_id long, frame_idx int, ts_ms int, frame binary"
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000,
                  partitions: int | None = None) -> DataFrame:
-    """Sample video frames every `every_ms` — one output row per frame.
+    """Sample video frames every `every_ms` — one output row per tick.
 
-    STUB decode; the explode shape (media_id, frame_idx, ts_ms, frame)
-    and the per-row fan-out are the real contract.
+    REAL decode for uncompressed RIFF/AVI payloads: the emitted frame is
+    the container frame covering the tick timestamp (idx = ts·1000 //
+    usec_per_frame, clamped). Unknown codecs keep the deterministic stub
+    frames; the explode shape (media_id, frame_idx, ts_ms, frame) is the
+    contract either way.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -314,9 +412,18 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
             for mid, payload, meta in zip(b["media_id"], b["payload"], b["meta"]):
                 w, h = int(meta["width"]), int(meta["height"])
                 dur = int(meta["duration_ms"])
+                payload = bytes(payload)
+                avi = None
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    avi = decode_avi(payload)
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
-                    frame = _decode_image_stub(
-                        bytes(payload) + ts.to_bytes(4, "big"), w, h)
+                    if avi is not None:
+                        frames, usec = avi
+                        idx = min(ts * 1000 // usec, len(frames) - 1)
+                        frame = frames[idx]
+                    else:
+                        frame = _decode_image_stub(
+                            payload + ts.to_bytes(4, "big"), w, h)
                     rows.append((int(mid), i, ts, frame.tobytes()))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms",
                                               "frame"])
@@ -325,6 +432,55 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
     if partitions:
         src = src.repartition(partitions, "media_id")
     return src.mapInPandas(gen, FRAMES_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms int, "
+    "mean_r double, mean_g double, mean_b double, phash long"
+)
+
+
+def _frame_features(img: np.ndarray) -> tuple[float, float, float, int]:
+    """Integer-exact channel means + 8x8 average hash (same math as
+    image_features; factored so video frames reuse it)."""
+    h, w = img.shape[:2]
+    sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    n_px = h * w
+    hh, ww = (h // 8) * 8, (w // 8) * 8
+    g3 = img[:hh, :ww].astype(np.int64).sum(axis=2)
+    blocks = g3.reshape(8, hh // 8, 8, ww // 8).sum(axis=(1, 3))
+    total = int(blocks.sum())
+    bits = (blocks.flatten() * 64 > total)
+    unsigned = sum(int(v) << i for i, v in enumerate(bits))
+    phash = unsigned - (1 << 64) if unsigned >= (1 << 63) else unsigned
+    return (float(sums[0] / n_px), float(sums[1] / n_px),
+            float(sums[2] / n_px), phash)
+
+
+def video_frame_features(media: DataFrame,
+                         partitions: int | None = None) -> DataFrame:
+    """REAL AVI decode → one row per CONTAINER frame with integer-exact
+    features (the per-frame analog of the reference's per-page fan-out,
+    ocr_app/core/ocr_engine.py:282-335). ts_ms = idx·usec_per_frame//1000
+    from the container timing. Non-AVI video payloads raise — this is
+    the decode-or-fail path; frame_sample keeps the stub fallback."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                frames, usec = decode_avi(bytes(payload))
+                for i, img in enumerate(frames):
+                    mr, mg, mb, ph = _frame_features(img)
+                    rows.append((int(mid), i, i * usec // 1000, mr, mg, mb, ph))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "ts_ms", "mean_r", "mean_g",
+                "mean_b", "phash"])
+
+    src = media.filter(F.col("kind") == "video")
+    if partitions:
+        src = src.repartition(partitions, "media_id")
+    return src.mapInPandas(gen, VIDEO_FRAMES_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = "media_id long, duration_ms int, rms double, zero_cross long"
@@ -368,10 +524,11 @@ def synthetic_media_rows(n: int = 60, seed: int = 42) -> list:
     """Deterministic media rows (no external data, no Spark).
 
     Image payloads are REAL encoded files (alternating 24-bit BMP and P6
-    PPM); audio payloads are REAL PCM16 WAVs; video payloads are opaque
-    bytes (decode stubbed, see module docstring). Shared by the Spark
-    table builder and the numpy-free oracle (payload GENERATION is input
-    data; only decode+features are independently restated in mmref.py)."""
+    PPM); audio payloads are REAL PCM16 WAVs; video payloads are REAL
+    uncompressed RIFF/AVI files (4 fps, deterministic per-frame noise).
+    Shared by the Spark table builder and the numpy-free oracle (payload
+    GENERATION is input data; only decode+features are independently
+    restated in mmref.py)."""
     import random
 
     rng = random.Random(seed)
@@ -393,8 +550,12 @@ def synthetic_media_rows(n: int = 60, seed: int = 42) -> list:
             payload = encode_wav((raw.astype(np.float32) - 127.5) / 127.5, rate)
             codec = "wav"
         else:
-            payload = md5_seed * 4
-            codec = "stub"
+            fps = 4
+            n_frames = max(dur * fps // 1000, 1)
+            frames = [synthetic_image(md5_seed + f.to_bytes(4, "big"), w, h)
+                      for f in range(n_frames)]
+            payload = encode_avi(frames, fps)
+            codec = "avi"
         rows.append((i, kind, bytearray(payload), (w, h, dur, codec)))
     return rows
 

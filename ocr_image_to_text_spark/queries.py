@@ -627,6 +627,24 @@ def media_image_features(spark, sf_dir):
         "phash")
 
 
+def media_video_frames(spark, sf_dir):
+    """Decode (real uncompressed RIFF/AVI) → one row per container frame
+    with integer-exact channel means + average hash (per-frame analog of
+    the reference's PDF page fan-out, ocr_engine.py:282-335)."""
+    from . import multimodal as mm
+
+    feats = mm.video_frame_features(
+        _media(spark, sf_dir),
+        partitions=spark.sparkContext.defaultParallelism)
+    return feats.select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("ts_ms").cast("int").alias("ts_ms"),
+        F.floor(F.col("mean_r") * 1e6 + F.lit(0.5)).cast("long").alias("mean_r_x1e6"),
+        F.floor(F.col("mean_g") * 1e6 + F.lit(0.5)).cast("long").alias("mean_g_x1e6"),
+        F.floor(F.col("mean_b") * 1e6 + F.lit(0.5)).cast("long").alias("mean_b_x1e6"),
+        "phash")
+
+
 def media_audio_features(spark, sf_dir):
     """Decode (real PCM16 WAV) → RMS energy + zero-crossing count."""
     from . import multimodal as mm

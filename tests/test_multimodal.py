@@ -78,6 +78,79 @@ def test_frame_sample_fanout(spark):
         assert per[mid] == len(range(0, max(dur, 1), 1000))
 
 
+def test_avi_roundtrip_exact():
+    """encode_avi → decode_avi is the identity on frames and timing,
+    including non-multiple-of-4 row strides (odd widths)."""
+    import numpy as np
+
+    for w, h in ((32, 16), (33, 21), (10, 9)):
+        frames = [mm.synthetic_image(bytes([i, w]) * 8, w, h) for i in range(4)]
+        payload = mm.encode_avi(frames, fps=4)
+        dec, usec = mm.decode_avi(payload)
+        assert usec == 250_000 and len(dec) == 4
+        for a, b in zip(frames, dec):
+            assert np.array_equal(a, b)
+
+
+def test_avi_stdlib_twin_agrees():
+    """mmref.decode_avi_py (stdlib loops) equals the numpy decoder, and
+    the per-frame features match bit-for-bit."""
+    from ocr_image_to_text_spark import mmref
+
+    frames = [mm.synthetic_image(bytes([i]) * 16, 33, 21) for i in range(3)]
+    payload = mm.encode_avi(frames, fps=4)
+    pf, w, h, usec = mmref.decode_avi_py(payload)
+    assert (w, h, usec) == (33, 21, 250_000) and len(pf) == 3
+    for i, img in enumerate(frames):
+        assert pf[i] == [[tuple(px) for px in row] for row in img]
+        mr, mg, mb, ph = mm._frame_features(img)
+        f = mmref._frame_features_py(pf[i], w, h)
+        assert (mr, mg, mb, ph) == (f["mean_r"], f["mean_g"], f["mean_b"],
+                                    f["phash"])
+
+
+def test_video_frame_features_real_decode(spark):
+    """video_frame_features decodes the synthetic AVI payloads: one row
+    per container frame, timing from the container, features equal to
+    the stdlib twin."""
+    from ocr_image_to_text_spark import mmref
+
+    media = mm.synthetic_media(spark, n=12)
+    got = {(r.media_id, r.frame_idx): r
+           for r in mm.video_frame_features(media).collect()}
+    vids = [r for r in mm.synthetic_media_rows(12) if r[1] == "video"]
+    assert len(vids) > 0
+    n_rows = 0
+    for mid, _kind, payload, (_w, _h, dur, codec) in vids:
+        assert codec == "avi"
+        feats = mmref.video_frame_features_py(bytes(payload))
+        assert len(feats) == max(dur * 4 // 1000, 1)
+        for f in feats:
+            r = got[(mid, f["frame_idx"])]
+            assert r.ts_ms == f["ts_ms"]
+            assert (r.mean_r, r.mean_g, r.mean_b, r.phash) == (
+                f["mean_r"], f["mean_g"], f["mean_b"], f["phash"])
+            n_rows += 1
+    assert n_rows == len(got)
+
+
+def test_frame_sample_real_avi_frames(spark):
+    """frame_sample now emits REAL container frames for AVI payloads:
+    the tick's frame equals the decoded container frame covering it."""
+    import numpy as np
+
+    media = mm.synthetic_media(spark, n=12)
+    sampled = {(r.media_id, r.frame_idx, r.ts_ms): bytes(r.frame)
+               for r in mm.frame_sample(media, every_ms=1000).collect()}
+    for mid, _k, payload, (_w, _h, dur, _c) in mm.synthetic_media_rows(12):
+        if _k != "video":
+            continue
+        frames, usec = mm.decode_avi(bytes(payload))
+        for i, ts in enumerate(range(0, max(dur, 1), 1000)):
+            idx = min(ts * 1000 // usec, len(frames) - 1)
+            assert sampled[(mid, i, ts)] == frames[idx].tobytes()
+
+
 def test_audio_features(spark):
     media = mm.synthetic_media(spark, n=30)
     out = mm.audio_features(media).collect()
