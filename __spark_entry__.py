@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_answer_x14": q.qa_answer_x14,
         "rag_fallback_pipeline": q.rag_fallback_pipeline,
         "boxes_avg_conf": q.boxes_avg_conf,
+        "extract_angle_mode": q.extract_angle_mode,
         "extract_metrics_cube": q.extract_metrics_cube,
         "doc_keyword_topk_x5": q.doc_keyword_topk_x5,
         "doc_txt_envelope": q.doc_txt_envelope,
@@ -396,6 +397,9 @@ def oracle_sql() -> dict[str, str]:
         "boxes_avg_conf": f"""
             SELECT conv_id, turn_idx, avg_conf_x1e9
             FROM read_parquet('{_g("avg_conf")}')""",
+        "extract_angle_mode": f"""
+            SELECT conv_id, turn_idx, theta_mode, skew_deg, rotation, n_lines
+            FROM read_parquet('{_g("angle")}')""",
         "extract_metrics_cube": f"""
             SELECT kind, table_flag, count(*) n_turns,
                    cast(sum(chars_out) as bigint) sum_chars_out

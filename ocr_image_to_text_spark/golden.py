@@ -324,6 +324,46 @@ AVG_CONF_SCHEMA = pa.schema([
 ])
 
 
+ANGLE_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", _I32),
+    ("theta_mode", _I32),
+    ("skew_deg", _I32),
+    ("rotation", _I32),
+    ("n_lines", _I32),
+])
+
+
+def ensure_angle_golden(sf_dir: str) -> str:
+    """A14 golden: histogram-mode orientation per boxes turn (pyref)."""
+    import pyarrow.parquet as _pq
+
+    tier = tier_for_sf_dir(sf_dir)
+    path = golden_path(tier, "angle")
+    if os.path.exists(path):
+        return path
+    tpath = ensure_transcripts(tier)
+    table = _pq.read_table(tpath, columns=["conv_id", "turn_idx", "text", "tool"])
+    rows = []
+    for conv_id, turn_idx, text, tool in zip(
+        table.column("conv_id").to_pylist(),
+        table.column("turn_idx").to_pylist(),
+        table.column("text").to_pylist(),
+        table.column("tool").to_pylist(),
+    ):
+        if pyref.classify_kind(text, tool) != "boxes":
+            continue
+        r = pyref.angle_mode(tool)
+        if r is None:
+            continue  # no multi-token line → no orientation evidence
+        theta_mode, skew_deg, rotation, n_lines = r
+        rows.append({"conv_id": conv_id, "turn_idx": turn_idx,
+                     "theta_mode": theta_mode, "skew_deg": skew_deg,
+                     "rotation": rotation, "n_lines": n_lines})
+    _write(path, rows, ANGLE_SCHEMA)
+    return path
+
+
 def ensure_avg_conf_golden(sf_dir: str) -> str:
     """A9 golden: mean kept-token confidence per boxes turn (pyref)."""
     import json

@@ -19,6 +19,7 @@ Payload envelope for "PDF-like" turns (FIXTURES.md §2a)::
 from __future__ import annotations
 
 import json
+import math
 import re
 from html.parser import HTMLParser
 
@@ -508,6 +509,79 @@ def detect_table_spacing(y_centers: list[float]) -> bool:
     var = sum((d - mean_diff) ** 2 for d in diffs) / len(diffs)
     std_diff = var ** 0.5
     return bool(std_diff < mean_diff * 0.5 and std_diff > 0)
+
+
+def angle_mode(payload_json: str) -> tuple[int, int, int, int] | None:
+    """A14 — histogram-mode orientation analog of src/ocr_module.py:148-167
+    and src/ocr/preprocessor.py:145-171.
+
+    The reference runs Canny + HoughLines over the raw image, bins the line
+    normals (theta, degrees mod 180) into a 180-bin histogram, and takes the
+    argmax bin: ocr_module derives a coarse rotation (90/180/270) from the
+    bin, preprocessor derives skew = max_bin - 90. We have token-box
+    geometry instead of pixels, so the detected "lines" are the assembled
+    text lines: cluster ALL boxes (Hough runs pre-OCR, so no confidence
+    filter) with the v2 rule (sort by easy-geometry center-y, adaptive
+    tolerance max(10, 0.01*h), per-token anchor — src/ocr_module.py:339-362),
+    then take each multi-token line's direction from its first to its last
+    token center in x order. theta = (direction + 90) mod 180 is the
+    Hough-normal equivalent (horizontal text → theta 90 → skew 0).
+
+    Returns (theta_mode, skew_deg, rotation, n_lines) with ints only
+    (golden parquet pins int32), or None when no multi-token line exists
+    (the reference's `lines is not None` guard → no orientation evidence).
+    Ties in the histogram resolve to the smallest bin (np.argmax).
+    Rotation boundaries mirror ocr_module faithfully, including bins 45 and
+    135 mapping to 0 (`<45`/`>135`/`45<x<135` leaves them uncovered).
+    """
+    payload = json.loads(payload_json)
+    boxes = payload.get("boxes", [])
+    h = payload.get("h", 0)
+    if not boxes:
+        return None
+    cy = lambda b: (b[0][0][1] + b[0][2][1]) / 2  # noqa: E731 — easy geometry
+    cx = lambda b: (b[0][0][0] + b[0][2][0]) / 2  # noqa: E731
+    sorted_boxes = sorted(boxes, key=cy)
+    tol = max(10, h * 0.01)
+    lines: list[list] = []
+    current: list = []
+    last_y = None
+    for b in sorted_boxes:
+        y = cy(b)
+        if last_y is None or abs(y - last_y) <= tol:
+            current.append(b)
+        else:
+            lines.append(current)
+            current = [b]
+        last_y = y
+    if current:
+        lines.append(current)
+    hist = [0] * 180
+    n_lines = 0
+    for line in lines:
+        if len(line) < 2:
+            continue
+        line = sorted(line, key=lambda b: b[0][0][0])  # x of first point (:358)
+        dx = cx(line[-1]) - cx(line[0])
+        dy = cy(line[-1]) - cy(line[0])
+        if dx == 0 and dy == 0:
+            continue
+        direction = math.degrees(math.atan2(dy, dx)) % 180.0
+        theta = (direction + 90.0) % 180.0
+        hist[int(math.floor(theta)) % 180] += 1
+        n_lines += 1
+    if n_lines == 0:
+        return None
+    max_bin = hist.index(max(hist))
+    if max_bin < 45:
+        rotation = 90
+    elif max_bin > 135:
+        rotation = 270
+    elif 45 < max_bin < 135:
+        rotation = 180
+    else:
+        rotation = 0
+    return (max_bin, max_bin - 90, rotation, n_lines)
 
 
 # ---------------------------------------------------------------------------

@@ -431,6 +431,31 @@ def doc_fingerprints(spark, sf_dir):
                 F.col("fp.min_fp").alias("min_fp"), F.col("fp.max_fp").alias("max_fp"))
 
 
+def extract_angle_mode(spark, sf_dir):
+    """A14 — histogram-mode orientation per boxes turn
+    (src/ocr_module.py:148-167, src/ocr/preprocessor.py:145-171): 180-bin
+    Hough-normal histogram argmax over the v2-clustered text lines' angles
+    → (theta_mode, skew_deg, rotation, n_lines). Oracle = pyref golden
+    (ensure_angle_golden — pure-Python math over the same payloads).
+
+    Plan: JVM kind sniff (pushed filter) → ONE ArrowEvalPython over the
+    boxes payloads only → null-drop. No shuffle at all — the histogram is
+    per-turn, so the whole query is map-side and scales linearly."""
+    from .golden import ensure_angle_golden
+    from .operators.angle import angle_mode_udf
+    from .operators.extract import kind_col
+    from .transcripts import tier_for_sf_dir
+
+    if tier_for_sf_dir(sf_dir) != "bench":
+        ensure_angle_golden(sf_dir)
+    t = _transcripts(spark, sf_dir)
+    return (t.filter(kind_col() == "boxes")
+            .select("conv_id", "turn_idx", angle_mode_udf(F.col("tool")).alias("a"))
+            .select("conv_id", "turn_idx", "a.theta_mode", "a.skew_deg",
+                    "a.rotation", "a.n_lines")
+            .filter(F.col("theta_mode").isNotNull()))
+
+
 def boxes_avg_conf(spark, sf_dir):
     """A9 — mean kept-token confidence per boxes turn; 0 when no token
     survives the filter (ocr_core/easyocr_reader.py:24 — np.mean over kept
