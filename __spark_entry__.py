@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q.ann_cosine_topk,
         "emb_dup_pairs": q.emb_dup_pairs,
         "ann_lsh_topk": q.ann_lsh_topk,
+        "ann_ivf_topk": q.ann_ivf_topk,
+        "dedup_simhash_pairs": q.dedup_simhash_pairs,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
         # --- multimodal (real BMP/PPM/WAV decode) ---
@@ -488,6 +490,45 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_r DESC, neighbor_id) rank FROM j)
             WHERE rank <= 3""",
+        "ann_ivf_topk": f"""
+            WITH {_EMB_NORM},
+            c AS (SELECT vec_id cid, e ce FROM n WHERE vec_id < 16),
+            ad AS (SELECT b.vec_id, c.cid,
+                     round(list_sum(list_transform(generate_series(1, len(b.e)),
+                           i -> (b.e[i] - c.ce[i]) * (b.e[i] - c.ce[i]))), 9) d
+                   FROM n b, c),
+            asn AS (SELECT vec_id, cid cell FROM
+                      (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cid) rn FROM ad)
+                    WHERE rn = 1),
+            probe AS (SELECT vec_id query_id, cid cell FROM
+                        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cid) rn FROM ad WHERE vec_id < 20)
+                      WHERE rn <= 4),
+            j AS (SELECT p.query_id, b.vec_id neighbor_id,
+                    round(list_sum(list_transform(generate_series(1, len(b.e)),
+                          i -> b.e[i] * q.e[i])) / (b.nrm * q.nrm), 9) cos_r
+                  FROM probe p JOIN asn a ON a.cell = p.cell
+                  JOIN n b ON b.vec_id = a.vec_id
+                  JOIN n q ON q.vec_id = p.query_id
+                  WHERE b.vec_id != p.query_id)
+            SELECT cast(query_id as bigint) query_id, cast(rank as bigint) rank,
+                   cast(neighbor_id as bigint) neighbor_id,
+                   cast(floor(cos_r * 1000000000 + 0.5) as bigint) cos_x1e9
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_r DESC, neighbor_id) rank FROM j)
+            WHERE rank <= 3""",
+        "dedup_simhash_pairs": f"""
+            WITH t AS (SELECT doc_id,
+                list_transform(list_distinct(regexp_extract_all(lower(text), '\\w+')),
+                               w -> substr(md5(w), 1, 8)) hs
+                FROM documents),
+            s AS (SELECT doc_id, {simhash_expr_sql("duckdb")} simhash FROM t)
+            SELECT cast(a.doc_id as bigint) doc_a, cast(b.doc_id as bigint) doc_b,
+                   cast(bit_count(xor(a.simhash, b.simhash)) as bigint) hamming
+            FROM s a, s b
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "chunk_l2_topk": chunk_l2_sql_duckdb(_g("chunks"), CHUNK_RETRIEVAL_QUERY, k=5),
         "chunk_cosine_topk": chunk_cosine_sql_duckdb(_g("chunks"), CHUNK_RETRIEVAL_QUERY, k=5),
         "emb_dup_pairs": f"""

@@ -213,3 +213,48 @@ def simhash_expr_sql(dialect: str, bits: int = 32) -> str:
         s = sum_tpl.format(contrib=contrib)
         terms.append(f"(case when {s} >= 0 then cast({2 ** (bits - 1 - b)} as bigint) else 0 end)")
     return "(" + " + ".join(terms) + ")"
+
+
+def simhash_band_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 32,
+                       n_bands: int = 4) -> DataFrame:
+    """SimHash near-duplicate pairs via banded blocking (Manku et al.,
+    WWW'07 "Detecting near-duplicates for web crawling").
+
+    Input: (doc_id, simhash) from the signature query. The signature is
+    split into `n_bands` contiguous bit bands; a pair at Hamming distance
+    ≤ n_bands − 1 must agree EXACTLY on at least one band (pigeonhole), so
+    with the default max_hamming = n_bands − 1 the banded equi-join is
+    lossless — the DuckDB oracle is the brute-force all-pairs Hamming scan,
+    proving zero recall loss, not just self-consistency.
+
+    Scale shape: one explode (n_bands rows/doc) → self-equi-join on
+    (band_id, band_val) → distinct → bit_count verify. Shuffle is
+    O(n·n_bands); candidate fan-out per band bucket is |bucket|²/2 — at
+    10^9 docs use bits=64 / 16-bit bands (4 bands again) so buckets stay
+    sparse; the band arithmetic below is width-agnostic. AQE skew-join
+    splits hot buckets (e.g. the all-zero signature of empty docs).
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            (F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(mask))
+            .cast("long") for i in range(n_bands)
+        ])).alias("band_id", "band_val"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+                     "band_id", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+                     "band_id", "band_val")
+    cand = (a.join(b, ["band_id", "band_val"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b")
+            .distinct())  # a pair can agree on several bands
+    return (cand
+            .withColumn("hamming", F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"),
+                    "hamming"))

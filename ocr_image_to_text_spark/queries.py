@@ -598,6 +598,23 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_bucket_topk(emb, n_queries=20, k=3, dim=dim)
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN: deterministic coarse cells + n_probe probing + exact
+    in-cell cosine re-rank (Faiss IndexIVFFlat shape; see similarity.ivf_topk
+    for the 10^9-vector scale notes)."""
+    emb, dim = _emb(spark, sf_dir)
+    return similarity.ivf_topk(emb, n_queries=20, k=3, n_cells=16, n_probe=4,
+                               dim=dim)
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: banded blocking over the 32-bit signature
+    (4 bands × 8 bits), Hamming ≤ 3 verify — lossless by pigeonhole, so the
+    DuckDB oracle is the brute-force all-pairs Hamming scan."""
+    sigs = doc_simhash(spark, sf_dir)
+    return dedup.simhash_band_pairs(sigs, max_hamming=3, bits=32, n_bands=4)
+
+
 CHUNK_RETRIEVAL_QUERY = "spark data engine quality filter"
 
 
