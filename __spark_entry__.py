@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q.ann_lsh_topk,
         "ann_ivf_topk": q.ann_ivf_topk,
         "dedup_simhash_pairs": q.dedup_simhash_pairs,
+        "corpus_curation_pipeline": q.corpus_curation_pipeline,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
         # --- multimodal (real BMP/PPM/WAV decode) ---
@@ -529,6 +530,36 @@ def oracle_sql() -> dict[str, str]:
             FROM s a, s b
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "corpus_curation_pipeline": f"""
+            WITH scored AS (SELECT doc_id, text,
+                cast(floor((CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE {_SCORE_V2.format(c="text")} END)
+                     * 1000000 + 0.5) as bigint) score_x1e6,
+                CASE
+                    WHEN length(text) < 20 THEN 'en'
+                    WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                    WHEN regexp_matches(text, '[\\x{{3040}}-\\x{{30ff}}]') THEN 'ja'
+                    WHEN regexp_matches(text, '[\\x{{ac00}}-\\x{{d7af}}]') THEN 'ko'
+                    WHEN regexp_matches(text, '[\\x{{0600}}-\\x{{06ff}}]') THEN 'ar'
+                    WHEN regexp_matches(text, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
+                    ELSE 'en' END lang
+                FROM documents),
+            kept AS (SELECT * FROM scored
+                     WHERE score_x1e6 >= 13000000 AND lang = 'en'),
+            ded AS (SELECT doc_id, text, score_x1e6, lang FROM
+                      (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) rn FROM kept)
+                    WHERE rn = 1),
+            t AS (SELECT doc_id,
+                list_transform(list_distinct(regexp_extract_all(lower(text), '\\w+')),
+                               w -> substr(md5(w), 1, 8)) hs
+                FROM ded),
+            s AS (SELECT doc_id, {simhash_expr_sql("duckdb")} simhash FROM t),
+            nd AS (SELECT DISTINCT b.doc_id FROM s a, s b
+                   WHERE a.doc_id < b.doc_id
+                     AND bit_count(xor(a.simhash, b.simhash)) <= 1)
+            SELECT cast(d.doc_id as bigint) doc_id, score_x1e6, lang
+            FROM ded d ANTI JOIN nd USING (doc_id)""",
         "chunk_l2_topk": chunk_l2_sql_duckdb(_g("chunks"), CHUNK_RETRIEVAL_QUERY, k=5),
         "chunk_cosine_topk": chunk_cosine_sql_duckdb(_g("chunks"), CHUNK_RETRIEVAL_QUERY, k=5),
         "emb_dup_pairs": f"""

@@ -615,6 +615,56 @@ def dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_band_pairs(sigs, max_hamming=3, bits=32, n_bands=4)
 
 
+CURATION_MIN_SCORE_X1E6 = 13_000_000  # A7 score ≥ 13.0 (~p50 of the corpus)
+
+
+def corpus_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation — the composition a 100 TB corpus
+    job actually runs, built from the already-oracle-checked stages:
+
+      1. quality gate  — A7 score_v2 ≥ 13.0, thresholded on the x1e6
+                         INTEGER so Spark and DuckDB can never disagree
+                         at the float boundary;
+      2. language gate — X8 deterministic lang id == 'en';
+      3. exact dedup   — keep the smallest doc_id per md5(text)
+                         (one shuffle on the content hash);
+      4. near-dup drop — SimHash banded pairs (Hamming ≤ 1 here — the
+                         synthetic corpus is topically dense, so ≤ 3
+                         collapses it to almost nothing; banding is
+                         lossless for any threshold ≤ n_bands − 1); a
+                         doc is dropped when ANY smaller-id
+                         near-duplicate exists (greedy keep-first —
+                         deterministic without computing connected
+                         components), via a left-anti join.
+
+    Scale: gates are map-side; the dedup window shuffles (hash, doc);
+    the near-dup stage is the banded equi-join + an anti-join on doc_id.
+    Output: (doc_id, score_x1e6, lang) of the surviving documents.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "text",
+        F.floor(textfn.score_v2_col(F.col("text")) * 1e6 + F.lit(0.5))
+        .cast("long").alias("score_x1e6"),
+        textfn.lang_col(F.col("text")).alias("lang"))
+    kept = scored.filter((F.col("score_x1e6") >= CURATION_MIN_SCORE_X1E6)
+                         & (F.col("lang") == "en"))
+    w = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+    deduped = (kept.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1).drop("rn"))
+    hs = F.transform(
+        F.array_distinct(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)),
+        lambda wd: F.substring(F.md5(wd), 1, 8))
+    sigs = deduped.select("doc_id", hs.alias("hs")).select(
+        "doc_id", F.expr(dedup.simhash_expr_sql("spark")).alias("simhash"))
+    near_dups = (dedup.simhash_band_pairs(sigs, max_hamming=1)
+                 .select(F.col("doc_b").alias("doc_id")).distinct())
+    return (deduped.join(near_dups, "doc_id", "left_anti")
+            .select(F.col("doc_id").cast("long"), "score_x1e6", "lang"))
+
+
 CHUNK_RETRIEVAL_QUERY = "spark data engine quality filter"
 
 
