@@ -158,32 +158,39 @@ def run_extract_job(
         ext = extract_turns(sub, variant=variant, partitions=salt_partitions,
                             extras=extras)
         # span arrays are derivable from extracted_text (span_cols) —
-        # don't double-store the string data in the stage
+        # don't double-store the string data in the published table
         ext = (ext.drop("span_starts", "span_ends", "span_texts")
                .withColumn("part_id", part_id_col(n_buckets)))
-        # One UDF pass → staged parquet; rollup/spans/stats derive from
-        # column-pruned re-reads of the stage (no persist: caching the
-        # span arrays in the JVM heap measured 3x GC wall-time at 32
-        # concurrent tasks, and disk-backed staging rides the page cache).
-        stage_dir = os.path.join(out_dir, "_stage")
+        # One UDF pass → the PUBLISHED rollup parquet (partitioned,
+        # sorted); spans/stats derive from column-pruned re-reads of it.
+        # (The original design wrote a _stage dir and then COPIED it to
+        # rollup with a second repartition — one full extra write and two
+        # extra corpus shuffles per wave that bought nothing: dynamic
+        # partition overwrite + the manifest commit marker already make
+        # the publish crash-consistent, and the 1-vs-4-CPU decomposition
+        # showed those derive steps scaling at ~0.5/core while the
+        # extraction stage scales at 0.89. No persist: caching the span
+        # arrays in the JVM heap measured 3x GC wall at 32 tasks, and
+        # disk-backed re-reads ride the page cache.)
         (ext.repartition("part_id")
          .sortWithinPartitions("conv_id", "turn_idx")
-         .write.mode("overwrite").partitionBy("part_id").parquet(stage_dir))
-        t_stage = time.perf_counter() - t0
-        # Read back ONLY this wave's partitions (the stage dir accumulates
-        # across waves; partition pruning keeps derives wave-local).
-        staged = (spark.read.parquet(stage_dir)
-                  .filter(F.col("part_id").isin([int(p) for p in wave])))
-        (staged.repartition("part_id")
          .write.mode("overwrite").partitionBy("part_id").parquet(rollup_dir))
-        t_roll = time.perf_counter() - t0 - t_stage
+        t_stage = time.perf_counter() - t0
+        # Read back ONLY this wave's partitions (the table accumulates
+        # across waves; partition pruning keeps derives wave-local).
+        staged = (spark.read.parquet(rollup_dir)
+                  .filter(F.col("part_id").isin([int(p) for p in wave])))
+        t_roll = time.perf_counter() - t0 - t_stage  # rollup IS the stage
         starts, ends, texts = span_cols(F.col("extracted_text"))
         with_spans = staged.select(
             "conv_id", "turn_idx", "part_id",
             starts.alias("span_starts"), ends.alias("span_ends"),
             texts.alias("span_texts"))
+        # No repartition: rows arrive already grouped by part_id from the
+        # pruned partitioned read, so the partitionBy write needs no
+        # shuffle (the part_id hash per span row is cheap; the shuffle of
+        # the exploded span TEXT — the job's largest table — was not).
         (spans_table(with_spans).withColumn("part_id", part_id_col(n_buckets))
-         .repartition("part_id")
          .write.mode("overwrite").partitionBy("part_id").parquet(spans_dir))
         t_spans = time.perf_counter() - t0 - t_stage - t_roll
         t1 = time.perf_counter()
@@ -218,15 +225,6 @@ def run_extract_job(
         if fail_after_waves is not None and n_done_waves >= fail_after_waves:
             raise RuntimeError(
                 f"extract_job: injected failure after {n_done_waves} waves")
-
-    stage_dir = os.path.join(out_dir, "_stage")
-    if os.path.exists(stage_dir):
-        # non-blocking: cleanup is GBs of unlink at scale and gates nothing
-        import shutil
-        import threading
-
-        threading.Thread(target=shutil.rmtree, args=(stage_dir,),
-                         kwargs={"ignore_errors": True}, daemon=False).start()
 
     # n_turns from the in-memory per-wave stats (this run) plus one manifest
     # read only when resuming (prior runs' turns live only in the manifest)
