@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q.ann_lsh_topk,
         "ann_ivf_topk": q.ann_ivf_topk,
         "dedup_simhash_pairs": q.dedup_simhash_pairs,
+        "dedup_clusters": q.dedup_clusters,
         "corpus_curation_pipeline": q.corpus_curation_pipeline,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
@@ -530,6 +531,27 @@ def oracle_sql() -> dict[str, str]:
             FROM s a, s b
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE t AS (SELECT doc_id,
+                list_transform(list_distinct(regexp_extract_all(lower(text), '\\w+')),
+                               w -> substr(md5(w), 1, 8)) hs
+                FROM documents),
+            s AS (SELECT doc_id, {simhash_expr_sql("duckdb")} simhash FROM t),
+            p AS (SELECT a.doc_id da, b.doc_id db FROM s a, s b
+                  WHERE a.doc_id < b.doc_id
+                    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+            e AS (SELECT da src, db dst FROM p
+                  UNION ALL SELECT db, da FROM p),
+            reach AS (
+                SELECT src AS doc_id, src AS lbl FROM e
+                UNION
+                SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.doc_id
+            ),
+            asg AS (SELECT doc_id, min(lbl) cluster_id FROM reach GROUP BY doc_id)
+            SELECT cast(doc_id as bigint) doc_id,
+                   cast(cluster_id as bigint) cluster_id,
+                   cast(count(*) OVER (PARTITION BY cluster_id) as bigint) n_docs
+            FROM asg""",
         "corpus_curation_pipeline": f"""
             WITH scored AS (SELECT doc_id, text,
                 cast(floor((CASE WHEN length(text) = 0 THEN 0.0

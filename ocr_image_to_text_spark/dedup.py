@@ -192,6 +192,75 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
     )
 
 
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_rounds: int = 50) -> DataFrame:
+    """Connected components over an undirected pair graph via hash-min
+    label propagation — the step a corpus dedup pipeline runs AFTER pair
+    generation (pairs → components → one canonical doc per component).
+
+    Algorithm: every vertex starts labelled with its own id; each round
+    every vertex takes the min label over its closed neighborhood
+    (itself + neighbors). A fixpoint of that map on a connected component
+    is necessarily the component-wide min id (any non-min vertex on the
+    boundary of the converged region would still shrink), so on
+    convergence `label` IS the canonical component id. Rounds needed =
+    component diameter; near-dup components are dense clouds of copies
+    of one underlying text, so diameters are small (single digits) —
+    for adversarial chain-shaped graphs swap in the two-phase
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14), which this signature
+    admits as a drop-in.
+
+    Scale shape per round: one shuffle join (edges ⋈ labels on dst), one
+    groupBy-min on src (map-side partial min), one left join back — all
+    key-partitioned, no driver data movement; the only driver action is
+    an empty/non-empty convergence probe (`limit(1).count()`).
+    `localCheckpoint` truncates the per-round lineage so the plan does
+    not grow exponentially with rounds (on a cluster use a reliable
+    checkpoint dir instead). Raises after `max_rounds` rather than
+    returning silently-unconverged labels.
+
+    Output: (doc_id, cluster_id) for every vertex that appears in
+    `pairs`; cluster_id = min doc_id of the component.
+    """
+    e = pairs.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")).localCheckpoint())
+    try:
+        for _ in range(max_rounds):
+            nbr_min = (
+                edges.join(labels.select(F.col("doc_id").alias("dst"),
+                                         F.col("label").alias("dst_label")),
+                           "dst")
+                .groupBy("src").agg(F.min("dst_label").alias("nbr_label"))
+                .select(F.col("src").alias("doc_id"), "nbr_label"))
+            new_labels = (
+                labels.join(nbr_min, "doc_id", "left")
+                .select("doc_id",
+                        F.least(F.col("label"),
+                                F.coalesce("nbr_label", F.col("label")))
+                        .alias("label"))
+                .localCheckpoint())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "doc_id")
+                       .filter(F.col("n.label") != F.col("o.label"))
+                       .limit(1).count())
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    "doc_id", F.col("label").alias("cluster_id"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds; raise it or use a "
+            "star-contraction variant)")
+    finally:
+        edges.unpersist()
+
+
 def simhash_expr_sql(dialect: str, bits: int = 32) -> str:
     """Generate the SimHash expression for a dialect ('spark' | 'duckdb').
 

@@ -615,6 +615,26 @@ def dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_band_pairs(sigs, max_hamming=3, bits=32, n_bands=4)
 
 
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the SimHash
+    pair graph (dedup_simhash_pairs edges), labelled with the component's
+    min doc_id and its size — the pairs→clusters→canonical step every
+    corpus-scale dedup actually needs (pair lists alone can't answer
+    "which docs do I keep"). Distributed hash-min label propagation
+    (see dedup.connected_components for the per-round shuffle shape);
+    the DuckDB oracle is a recursive-CTE transitive closure over the
+    same brute-force pair set, so convergence is hash-verified, not
+    assumed. Output: (doc_id, cluster_id, n_docs), one row per doc that
+    has at least one near-duplicate."""
+    from pyspark.sql import Window
+
+    comp = dedup.connected_components(dedup_simhash_pairs(spark, sf_dir))
+    return comp.select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long"),
+        F.count("*").over(Window.partitionBy("cluster_id"))
+        .cast("long").alias("n_docs"))
+
+
 CURATION_MIN_SCORE_X1E6 = 13_000_000  # A7 score ≥ 13.0 (~p50 of the corpus)
 
 
