@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q.ann_ivf_topk,
         "dedup_simhash_pairs": q.dedup_simhash_pairs,
         "dedup_clusters": q.dedup_clusters,
+        "doc_length_histogram": q.doc_length_histogram,
+        "corpus_sample_stratified": q.corpus_sample_stratified,
         "corpus_curation_pipeline": q.corpus_curation_pipeline,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
@@ -107,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- events (streaming-adjacent batch ops) ---
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
+        "events_asof_join": q.events_asof_join,
     }
 
 
@@ -155,6 +158,30 @@ def _lsh_sig_sql(dim: int = 64, n_planes: int = 8) -> str:
                 f"i -> e[i] * ({lit})[i])), 9)")
         bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
     return " || ".join(bits)
+
+
+def _md5_prefix_int_sql(expr: str, n_hex: int = 8) -> str:
+    """DuckDB twin of Spark's conv(substring(md5(x), 1, 8), 16, 10):
+    the first `n_hex` hex chars of md5 as a bigint, via an integer-exact
+    nibble polynomial (powers < 2^32, so the double-typed `**` is exact
+    long before the 2^53 mantissa limit)."""
+    terms = " + ".join(
+        f"cast((strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" as bigint) * {16 ** (n_hex - 1 - i)}"
+        for i in range(n_hex))
+    return f"({terms})"
+
+
+def _sample_rate_case_sql() -> str:
+    """Per-stratum keep-rate CASE generated from the SAME constants as the
+    Spark when-chain (queries.SAMPLE_RATES_X1000) so the dialects cannot
+    drift."""
+    from ocr_image_to_text_spark.queries import (SAMPLE_DEFAULT_X1000,
+                                                 SAMPLE_RATES_X1000)
+
+    whens = " ".join(f"WHEN lang = '{k}' THEN {v}"
+                     for k, v in SAMPLE_RATES_X1000.items())
+    return f"CASE {whens} ELSE {SAMPLE_DEFAULT_X1000} END"
 
 
 def _lang_ngram_sql() -> str:
@@ -616,6 +643,44 @@ def oracle_sql() -> dict[str, str]:
                 THEN 1 ELSE 0 END brk FROM events)
             SELECT user_id, cast(sum(brk) + 1 as bigint) n_sessions
             FROM b GROUP BY 1""",
+        "events_asof_join": """
+            WITH sub AS (SELECT * FROM events
+                         WHERE event_type IN ('click', 'view')),
+            w AS (SELECT event_id, event_type, ts,
+                    last_value(CASE WHEN event_type = 'view' THEN event_id END
+                               IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      view_event_id,
+                    last_value(CASE WHEN event_type = 'view' THEN ts END
+                               IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      view_ts
+                  FROM sub)
+            SELECT cast(event_id as bigint) event_id,
+                   cast(view_event_id as bigint) view_event_id,
+                   cast(epoch_ms(ts) - epoch_ms(view_ts) as bigint) gap_ms
+            FROM w WHERE event_type = 'click'""",
+        "doc_length_histogram": r"""
+            WITH tc AS (SELECT lang,
+                cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                     as bigint) n
+                FROM documents)
+            SELECT lang,
+                   cast(CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END
+                        as bigint) len_bucket,
+                   count(*) n_docs, cast(sum(n) as bigint) sum_ws_tokens
+            FROM tc GROUP BY 1, 2""",
+        "corpus_sample_stratified": f"""
+            WITH h AS (SELECT doc_id, lang,
+                {_md5_prefix_int_sql("cast(doc_id as varchar)")} % 1000
+                    strat_hash
+                FROM documents)
+            SELECT cast(doc_id as bigint) doc_id, lang,
+                   cast(strat_hash as bigint) strat_hash
+            FROM h WHERE strat_hash < ({_sample_rate_case_sql()})""",
         # (every queries() entry now has an oracle twin: chunks_modern
         # reads the pyref golden parquet; ann_lsh_topk restates the
         # deterministic hyperplane signature in SQL.)

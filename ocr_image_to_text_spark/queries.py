@@ -635,6 +635,58 @@ def dedup_clusters(spark, sf_dir):
         .cast("long").alias("n_docs"))
 
 
+def doc_length_histogram(spark, sf_dir):
+    """Corpus length-distribution rollup — the per-language token-count
+    histogram a training-mix designer reads before choosing sampling
+    rates. Bucket = bit-length of the whitespace token count
+    (`length(bin(n))` — integer-exact log2 on BOTH engines, never a
+    float log whose boundary could flip a bucket at exact powers of
+    two). Scale: pure two-level aggregate — map-side partial counts,
+    one shuffle on (lang, len_bucket); no UDF, no window."""
+    docs = _docs(spark, sf_dir)
+    return (docs.select("lang", textfn.token_count_cols(F.col("text"))[0])
+            .select("lang",
+                    F.when(F.col("n_ws_tokens") == 0, F.lit(0))
+                    .otherwise(F.length(F.bin(F.col("n_ws_tokens"))))
+                    .cast("long").alias("len_bucket"),
+                    "n_ws_tokens")
+            .groupBy("lang", "len_bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_ws_tokens").cast("long").alias("sum_ws_tokens")))
+
+
+# Per-mille keep rates per documents.lang stratum (training-mix design);
+# unlisted strata fall back to the default. The DuckDB oracle CASE is
+# generated from these same constants so the dialects cannot drift.
+SAMPLE_RATES_X1000 = {"en": 500, "zh": 400, "de": 300, "es": 300, "fr": 300}
+SAMPLE_DEFAULT_X1000 = 100
+
+
+def corpus_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling — per-language per-mille keep
+    rates applied with a content-independent md5 coin (first 8 hex chars
+    of md5(doc_id) as an integer, mod 1000), NOT rand(): re-running the
+    job, changing partitioning, or adding executors can never change
+    the sample. Scale: map-side filter only — zero shuffles, no RNG
+    state, no driver involvement; the rate table is a literal CASE
+    (broadcast-free). Output: the kept (doc_id, lang, strat_hash).
+
+    Reads the table directly (no `_spread` small-SF repartition shim):
+    a pure filter has no per-row CPU to spread, and the zero-Exchange
+    plan is pinned by tests/test_pipeline_ops.py."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("long") % 1000)
+    rate = None
+    for lang, r in SAMPLE_RATES_X1000.items():
+        rate = (F.when if rate is None else rate.when)(
+            F.col("lang") == lang, F.lit(r))
+    rate = rate.otherwise(F.lit(SAMPLE_DEFAULT_X1000))
+    return (docs.select(F.col("doc_id").cast("long"), "lang",
+                        h.alias("strat_hash"))
+            .filter(F.col("strat_hash") < rate))
+
+
 CURATION_MIN_SCORE_X1E6 = 13_000_000  # A7 score ≥ 13.0 (~p50 of the corpus)
 
 
@@ -842,3 +894,36 @@ def events_sessions(spark, sf_dir, gap_s: int = 1800):
     return (ev.withColumn("brk", brk)
             .groupBy("user_id")
             .agg((F.sum("brk") + 1).cast("long").alias("n_sessions")))
+
+
+def events_asof_join(spark, sf_dir):
+    """As-of (point-in-time / attribution) join: each 'click' event picks
+    the most recent 'view' by the same user ordered strictly before it
+    by (ts, event_id) — the classic temporal join Spark lacks as a
+    builtin. Implemented as ONE window pass over the union of both
+    sides — `last(view_id, ignorenulls) OVER (rows unbounded
+    preceding .. 1 preceding)` — so the only shuffle is the hash
+    partition on user_id; never an inequality join (whose
+    broadcast-nested-loop plan is quadratic per user at corpus scale).
+    Output: (event_id, view_event_id nullable, gap_ms nullable)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    sub = ev.filter(F.col("event_type").isin("click", "view"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    view_id = F.last(F.when(F.col("event_type") == "view", F.col("event_id")),
+                     ignorenulls=True).over(w)
+    view_ts = F.last(F.when(F.col("event_type") == "view", F.col("ts")),
+                     ignorenulls=True).over(w)
+    # floor each side to whole ms BEFORE subtracting (DuckDB's epoch_ms
+    # floors per operand; flooring the difference can differ by 1 ms).
+    # ts is TIMESTAMP_NTZ; the cast's session-tz shift is a whole-ms
+    # constant that cancels in the per-row difference.
+    def _ms(c):
+        return F.floor(F.unix_micros(c.cast("timestamp")) / 1000)
+
+    return (sub
+            .withColumn("view_event_id", view_id.cast("long"))
+            .withColumn("gap_ms",
+                        (_ms(F.col("ts")) - _ms(view_ts)).cast("long"))
+            .filter(F.col("event_type") == "click")
+            .select(F.col("event_id").cast("long"), "view_event_id", "gap_ms"))

@@ -1,0 +1,106 @@
+"""Corpus-pipeline ops: length histogram, stratified sampling, as-of join.
+
+Driver oracles prove value equality vs DuckDB at sf0.01; these tests pin
+the properties that matter at scale: integer-exact bucket edges, the
+zero-shuffle sampling plan and its partitioning-independence, and the
+as-of join's strictly-before / tie semantics on a controlled fixture.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_len_bucket_edges_are_integer_exact(spark):
+    """bucket = bit-length: 0→0, 1→1, 2..3→2, 4..7→3, 8..15→4, 2^k edge
+    cases included (the reason for bin() over float log2)."""
+    n = F.col("n").cast("long")
+    bucket = (F.when(n == 0, F.lit(0)).otherwise(F.length(F.bin(n)))
+              .cast("long"))
+    rows = (spark.range(0, 70).toDF("n").select("n", bucket.alias("b"))
+            .collect())
+    for r in rows:
+        assert r.b == (0 if r.n == 0 else r.n.bit_length()), r
+
+
+def test_stratified_sample_is_map_side_and_partitioning_invariant(spark, tmp_path):
+    """The sample must be a pure filter (no Exchange in the plan) and
+    byte-identical regardless of input partitioning — the property that
+    makes it safe to re-run on a differently-bucketed 100 TB table."""
+    import ocr_image_to_text_spark.queries as q
+
+    docs = [(i, f"text {i}", lang, "s", 10)
+            for i, lang in enumerate(["en", "zh", "de", "xx"] * 50)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long")
+    p1 = str(tmp_path / "docs1")
+    df.repartition(1).write.parquet(p1, mode="overwrite")
+    p8 = str(tmp_path / "docs8")
+    df.repartition(8).write.parquet(p8, mode="overwrite")
+
+    def run(path):
+        import os
+        import shutil
+        d = str(tmp_path / "sfdir")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        os.symlink(path, os.path.join(d, "documents.parquet"))
+        out = q.corpus_sample_stratified(spark, d)
+        assert "Exchange" not in _plan(out), "sampling must not shuffle"
+        return sorted((r.doc_id, r.lang, r.strat_hash) for r in out.collect())
+
+    a, b = run(p1), run(p8)
+    assert a == b and len(a) > 0
+    # unlisted stratum falls back to the default per-mille rate
+    assert all(h < q.SAMPLE_DEFAULT_X1000 for _, lang, h in a if lang == "xx")
+
+
+def test_asof_join_semantics_fixture(spark, tmp_path):
+    """Strictly-before semantics: a view at the exact click (ts, id) order
+    position does not attach; the latest earlier view wins; clicks with
+    no prior view emit NULLs."""
+    import os
+
+    import ocr_image_to_text_spark.queries as q
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(s_offset, us=0):
+        return t0 + datetime.timedelta(seconds=s_offset, microseconds=us)
+
+    rows = [
+        # user 1: view(1) @0s, view(2) @5s, click(3) @5s same-ts later id,
+        # click(4) @9s
+        (1, ts(0), 1, "view", 0.0, ""),
+        (2, ts(5), 1, "view", 0.0, ""),
+        (3, ts(5), 1, "click", 0.0, ""),
+        (4, ts(9), 1, "click", 0.0, ""),
+        # user 2: click with NO prior view; a later view must not attach
+        (5, ts(1), 2, "click", 0.0, ""),
+        (6, ts(2), 2, "view", 0.0, ""),
+        # user 3: same-ts view with LARGER event_id than the click —
+        # ordered after in (ts, event_id), so it must not attach
+        (7, ts(3), 3, "click", 0.0, ""),
+        (8, ts(3), 3, "view", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "sfdir_ev")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.event_id: (r.view_event_id, r.gap_ms)
+           for r in q.events_asof_join(spark, d).collect()}
+    assert got == {
+        3: (2, 0),        # same-ts earlier-id view attaches, gap 0 ms
+        4: (2, 4000),     # latest earlier view, not the first one
+        5: (None, None),  # no prior view
+        7: (None, None),  # same-ts later-id view does not attach
+    }
