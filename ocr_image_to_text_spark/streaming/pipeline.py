@@ -72,6 +72,34 @@ def extract_stream(spark: SparkSession, source_dir: str, out_dir: str,
     return q
 
 
+def dedup_stream(spark: SparkSession, source_dir: str, out_dir: str,
+                 checkpoint_dir: str, watermark: str = "10 minutes",
+                 await_termination: bool = True):
+    """Streaming exact dedup — the incremental twin of
+    dedup.exact_dedup_groups: drop any turn whose md5(text) was already
+    seen, with the dedup state BOUNDED by the event-time watermark
+    (`dropDuplicatesWithinWatermark`), so state size tracks the late-data
+    horizon, not corpus history — the property that keeps this runnable
+    forever at 10^12-turn scale. Exactly-once across restarts comes from
+    the checkpoint (file-source log + state store). Output: the first
+    occurrence of each distinct text within the horizon.
+    """
+    stream = read_transcript_stream(spark, source_dir)
+    deduped = (stream
+               .withColumn("text_hash", F.md5("text"))
+               .withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(["text_hash"]))
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .outputMode("append")
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def hourly_kind_counts_stream(spark: SparkSession, source_dir: str,
                               out_dir: str, checkpoint_dir: str,
                               watermark: str = "1 hour",

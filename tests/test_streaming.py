@@ -113,3 +113,28 @@ def test_conversation_progress_stateful(spark, tmp_path, split_source):
     key = ["conv_id", "n_turns", "chars", "last_turn_idx"]
     assert sorted(map(tuple, got.select(*key).collect())) == \
         sorted(map(tuple, exp.select(*key).collect()))
+
+
+def test_dedup_stream_drops_watermark_horizon_duplicates(spark, tmp_path, split_source):
+    """Streaming exact dedup: the emitted rows carry pairwise-distinct
+    text hashes, cover every distinct batch hash, and keep a first
+    occurrence — with state bounded by the watermark, not history."""
+    from pyspark.sql import functions as F
+
+    from ocr_image_to_text_spark.streaming.pipeline import dedup_stream
+
+    d, t, half = split_source
+    pq.write_table(t.slice(half), str(d / "part-1.parquet"))
+    out, ckpt = str(tmp_path / "dout"), str(tmp_path / "dckpt")
+    # t1 spans a short interval; a huge watermark keeps every hash in
+    # state for the whole run, so the emitted set must be EXACTLY the
+    # batch-distinct set
+    dedup_stream(spark, str(d), out, ckpt, watermark="365 days")
+
+    got = spark.read.parquet(out)
+    n_rows = got.count()
+    n_hashes = got.select("text_hash").distinct().count()
+    assert n_rows == n_hashes  # no duplicate survived
+    exp_hashes = (spark.read.parquet(str(d))
+                  .select(F.md5("text").alias("h")).distinct().count())
+    assert n_hashes == exp_hashes  # nothing was lost
