@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- documents analytics (SURVEY §2.8) ---
         "doc_entities": q.doc_entities,
         "doc_entities_seeded": q.doc_entities_seeded,
+        "doc_redact": q.doc_redact,
         "doc_lang": q.doc_lang,
         "doc_lang_ngram": q.doc_lang_ngram,
         "doc_stats": q.doc_stats,
@@ -312,6 +313,34 @@ def oracle_sql() -> dict[str, str]:
                    unnest(regexp_extract_all(text, '\b(?:\+\d{1,3}[- ]?)?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b')) FROM seeded
             UNION ALL SELECT doc_id, 'url',
                    unnest(regexp_extract_all(text, 'https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+')) FROM seeded""",
+        # PII redaction: identical seeded text, identical replace chain
+        # (email -> phone -> url, 'g' flag = Spark's replace-all default),
+        # counts taken pre-redaction. Value-exact masking certification.
+        "doc_redact": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' Contact user' || doc_id
+                          || '@example.com on 12/05/2024 or 2024-05-12 '
+                          || 'or Jan 5, 2024; call +1 (555) 123-4567; '
+                          || 'see https://d' || doc_id || '.example.com' AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b',
+                         '[EMAIL]', 'g'),
+                       '\b(?:\+\d{1,3}[- ]?)?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b',
+                       '[PHONE]', 'g'),
+                     'https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+',
+                     '[URL]', 'g') redacted_text,
+                   cast(len(regexp_extract_all(text,
+                     '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b')) as bigint) n_email,
+                   cast(len(regexp_extract_all(text,
+                     '\b(?:\+\d{1,3}[- ]?)?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b')) as bigint) n_phone,
+                   cast(len(regexp_extract_all(text,
+                     'https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+')) as bigint) n_url
+            FROM seeded""",
         "doc_lang": r"""
             SELECT doc_id, CASE
                 WHEN length(text) < 20 THEN 'en'

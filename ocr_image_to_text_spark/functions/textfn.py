@@ -39,6 +39,21 @@ def entity_matches(text: Column, entity_type: str) -> Column:
     return out
 
 
+# --- PII redaction (training-data pipeline; composes the X7 regexes) --------
+# Masks each PII-class match with a typed placeholder. Order is part of the
+# contract (email before url, so mailto-ish text can't be half-masked); the
+# DuckDB twin chains regexp_replace(..., 'g') in the identical order.
+REDACT_ORDER = ["email", "phone", "url"]
+
+
+def redact_col(text: Column) -> Column:
+    out = text
+    for etype in REDACT_ORDER:
+        for p in ENTITY_PATTERNS[etype]:
+            out = F.regexp_replace(out, p, f"[{etype.upper()}]")
+    return out
+
+
 # --- X8 language id (src/utils.py:96-122, deterministic path) ---------------
 
 

@@ -311,6 +311,27 @@ def doc_entities_seeded(spark, sf_dir):
     return _entities_over(docs.select("doc_id", seeded.alias("text")))
 
 
+def doc_redact(spark, sf_dir):
+    """PII redaction over the entity-seeded corpus: mask every X7
+    email/phone/url match with a typed placeholder and report per-class
+    match counts (counted pre-redaction). The DuckDB oracle rebuilds the
+    identical seeded text and chains the same regexp_replace sequence
+    with the 'g' flag, so both the masking and the counts are certified
+    value-exact. Pure JVM regexp_replace — whole-stage codegen, no
+    shuffle: at 100 TB this is a map-only pass."""
+    docs = _docs(spark, sf_dir)
+    seeded = F.concat(
+        F.col("text"),
+        F.format_string(ENTITY_SEED_FMT, F.col("doc_id"), F.col("doc_id")))
+    d = docs.select("doc_id", seeded.alias("text"))
+    return d.select(
+        "doc_id",
+        textfn.redact_col(F.col("text")).alias("redacted_text"),
+        *[F.size(textfn.entity_matches(F.col("text"), e))
+          .cast("long").alias(f"n_{e}")
+          for e in textfn.REDACT_ORDER])
+
+
 def doc_lang(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", textfn.lang_col(F.col("text")).alias("lang_detected"))
