@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_histogram": q.doc_length_histogram,
         "corpus_sample_stratified": q.corpus_sample_stratified,
         "corpus_curation_pipeline": q.corpus_curation_pipeline,
+        "corpus_decontaminate": q.corpus_decontaminate,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
         # --- multimodal (real BMP/PPM/WAV decode) ---
@@ -608,6 +609,23 @@ def oracle_sql() -> dict[str, str]:
                    cast(cluster_id as bigint) cluster_id,
                    cast(count(*) OVER (PARTITION BY cluster_id) as bigint) n_docs
             FROM asg""",
+        # Decontamination: same shingle construction as _SHINGLES, split
+        # into benchmark (doc_id % 47 = 0) vs corpus sides.
+        "corpus_decontaminate": r"""
+            WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws
+                       FROM documents),
+            shl AS (SELECT doc_id,
+                      list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                    i -> array_to_string(list_slice(ws, i, i + 2), ' '))) shs
+                    FROM w),
+            sh AS (SELECT doc_id, unnest(shs) gram FROM shl),
+            bench AS (SELECT doc_id bench_id, gram FROM sh WHERE doc_id % 47 = 0),
+            corp AS (SELECT doc_id, gram FROM sh WHERE doc_id % 47 != 0)
+            SELECT corp.doc_id,
+                   cast(count(distinct gram) as bigint) n_shared_grams,
+                   cast(count(distinct bench_id) as bigint) n_bench_docs
+            FROM corp JOIN bench USING (gram)
+            GROUP BY corp.doc_id""",
         "corpus_curation_pipeline": f"""
             WITH scored AS (SELECT doc_id, text,
                 cast(floor((CASE WHEN length(text) = 0 THEN 0.0

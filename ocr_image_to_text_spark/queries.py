@@ -711,6 +711,31 @@ def corpus_sample_stratified(spark, sf_dir):
 CURATION_MIN_SCORE_X1E6 = 13_000_000  # A7 score ≥ 13.0 (~p50 of the corpus)
 
 
+def corpus_decontaminate(spark, sf_dir):
+    """Test-set decontamination (GPT-3/PaLM-style): flag every corpus doc
+    that shares >= 1 word n-gram with any doc in a benchmark/eval set,
+    reporting how many distinct grams and benchmark docs it collides
+    with. The benchmark here is a deterministic doc_id slice standing in
+    for the tiny external eval table; gram width 3 (the corpus shingle
+    width) so the sandbox corpus yields hits — production decontamination
+    uses 8-13-grams via the same `width` parameter on
+    dedup.shingle_array. Scale shape: the benchmark gram index is
+    BROADCAST (eval sets are KB-MB against a 100 TB corpus), so the whole
+    op is a map-side hash join + one shuffle on doc_id for the rollup —
+    never a corpus self-join."""
+    docs = _docs(spark, sf_dir)
+    grams = dedup.shingle_array()
+    bench = (docs.filter(F.col("doc_id") % 47 == 0)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.explode(grams).alias("gram")))
+    corp = (docs.filter(F.col("doc_id") % 47 != 0)
+            .select("doc_id", F.explode(grams).alias("gram")))
+    return (corp.join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("gram").cast("long").alias("n_shared_grams"),
+                 F.count_distinct("bench_id").cast("long").alias("n_bench_docs")))
+
+
 def corpus_curation_pipeline(spark, sf_dir):
     """End-to-end training-data curation — the composition a 100 TB corpus
     job actually runs, built from the already-oracle-checked stages:

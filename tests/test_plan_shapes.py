@@ -83,3 +83,18 @@ def test_emb_dup_pairs_is_distributed(spark):
     assert "Generate" in plan  # block-pair replication via explode
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """Decontamination joins the corpus gram stream against the BENCHMARK
+    gram index via broadcast — eval sets are tiny, so the corpus side
+    must never shuffle for the join (only the final doc_id rollup
+    shuffles). A SortMergeJoin here would shuffle 100 TB of grams."""
+    from ocr_image_to_text_spark import queries as q
+
+    plan = _plan(q.corpus_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    for forbidden in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                      "LocalTableScan"):
+        assert forbidden not in plan
