@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": q.corpus_sample_stratified,
         "corpus_curation_pipeline": q.corpus_curation_pipeline,
         "corpus_decontaminate": q.corpus_decontaminate,
+        "corpus_pack_sequences": q.corpus_pack_sequences,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
         # --- multimodal (real BMP/PPM/WAV decode) ---
@@ -609,6 +610,31 @@ def oracle_sql() -> dict[str, str]:
                    cast(cluster_id as bigint) cluster_id,
                    cast(count(*) OVER (PARTITION BY cluster_id) as bigint) n_docs
             FROM asg""",
+        # Sequence packing: the greedy first-fit fold restated as a
+        # recursive CTE stepping row_number within each bucket — the
+        # serial-within-shard semantics the applyInPandas pass implements.
+        "corpus_pack_sequences": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END as bigint) n_tokens,
+                     doc_id % 16 bucket,
+                     row_number() OVER (PARTITION BY doc_id % 16
+                                        ORDER BY doc_id) rn
+              FROM documents),
+            g AS (
+              SELECT bucket, rn, doc_id, n_tokens,
+                     cast(0 as bigint) pack_seq, n_tokens cur
+              FROM toks WHERE rn = 1
+              UNION ALL
+              SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                     CASE WHEN g.cur > 0 AND g.cur + t.n_tokens > 256
+                          THEN g.pack_seq + 1 ELSE g.pack_seq END,
+                     CASE WHEN g.cur > 0 AND g.cur + t.n_tokens > 256
+                          THEN t.n_tokens ELSE g.cur + t.n_tokens END
+              FROM g JOIN toks t ON t.bucket = g.bucket AND t.rn = g.rn + 1)
+            SELECT doc_id, n_tokens, bucket, pack_seq FROM g""",
         # Decontamination: same shingle construction as _SHINGLES, split
         # into benchmark (doc_id % 47 = 0) vs corpus sides.
         "corpus_decontaminate": r"""

@@ -736,6 +736,47 @@ def corpus_decontaminate(spark, sf_dir):
                  F.count_distinct("bench_id").cast("long").alias("n_bench_docs")))
 
 
+PACK_CAPACITY = 256  # tokens per training sequence (sandbox scale)
+PACK_BUCKETS = 16    # parallel packing shards
+
+
+def corpus_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing: assign each doc to a training-sequence
+    pack of <= PACK_CAPACITY tokens, first-fit in doc_id order within a
+    deterministic shard (doc_id % PACK_BUCKETS). Packing is inherently
+    sequential WITHIN a shard, so the scale shape is parallel-across /
+    serial-within: one applyInPandas pass per bucket (at 100 TB, buckets
+    = thousands of shards, each a bounded pandas group), never a global
+    sort or driver loop. A doc longer than the capacity occupies its own
+    pack. The DuckDB twin restates the greedy fold as a recursive CTE
+    stepping row_number within each bucket, so pack assignments are
+    certified value-exact."""
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    n_tokens = (F.when(F.length(F.trim(text)) == 0, F.lit(0))
+                .otherwise(F.size(F.split(F.trim(text), r"\s+")))
+                .cast("long"))
+    toks = docs.select(
+        "doc_id", n_tokens.alias("n_tokens"),
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ns = pdf["n_tokens"].to_numpy()
+        seq = np.zeros(len(pdf), dtype=np.int64)
+        s, cur = 0, 0
+        for i, n in enumerate(ns):
+            if cur > 0 and cur + n > PACK_CAPACITY:
+                s, cur = s + 1, 0
+            seq[i] = s
+            cur += n
+        return pdf.assign(pack_seq=seq)
+
+    return toks.groupBy("bucket").applyInPandas(
+        pack, "doc_id long, n_tokens long, bucket long, pack_seq long")
+
+
 def corpus_curation_pipeline(spark, sf_dir):
     """End-to-end training-data curation — the composition a 100 TB corpus
     job actually runs, built from the already-oracle-checked stages:

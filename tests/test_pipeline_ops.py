@@ -104,3 +104,43 @@ def test_asof_join_semantics_fixture(spark, tmp_path):
         5: (None, None),  # no prior view
         7: (None, None),  # same-ts later-id view does not attach
     }
+
+
+def test_pack_sequences_invariants(spark, tmp_path):
+    """Greedy packing invariants on a controlled fixture: (a) every pack
+    fits the capacity unless it is a single oversized doc, (b) pack_seq
+    is contiguous from 0 within each bucket, (c) packing is first-fit in
+    doc_id order (a doc never lands in an earlier pack than a smaller
+    doc_id), (d) deterministic across input partitioning."""
+    import ocr_image_to_text_spark.queries as q
+
+    # include an oversized doc (> 256 words) and exact-boundary fills
+    texts = {0: "w " * 300, 16: "w " * 256, 32: "w " * 1}
+    docs = [(i, texts.get(i, "word " * (10 + (i * 7) % 90)).strip(),
+             "en", "s", 10) for i in range(120)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long")
+    p = str(tmp_path / "docs.parquet")
+    df.repartition(7).write.parquet(p)
+    (tmp_path / "documents.parquet").symlink_to(p)
+
+    out = q.corpus_pack_sequences(spark, str(tmp_path)).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, rows in by_bucket.items():
+        rows.sort(key=lambda r: r.doc_id)
+        # (c) pack_seq non-decreasing in doc_id order, (b) contiguous
+        seqs = [r.pack_seq for r in rows]
+        assert seqs[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:])), (bucket, seqs)
+        # (a) capacity respected except singleton oversized packs
+        fill = {}
+        for r in rows:
+            fill.setdefault(r.pack_seq, []).append(r.n_tokens)
+        for members in fill.values():
+            assert sum(members) <= q.PACK_CAPACITY or len(members) == 1, members
+
+    # (d) repartition-invariance
+    out2 = q.corpus_pack_sequences(spark, str(tmp_path)).repartition(3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
