@@ -317,8 +317,9 @@ def doc_redact(spark, sf_dir):
     match counts (counted pre-redaction). The DuckDB oracle rebuilds the
     identical seeded text and chains the same regexp_replace sequence
     with the 'g' flag, so both the masking and the counts are certified
-    value-exact. Pure JVM regexp_replace — whole-stage codegen, no
-    shuffle: at 100 TB this is a map-only pass."""
+    value-exact. Pure JVM regexp_replace — whole-stage codegen, never a
+    key shuffle (the only Exchange is the `_spread` small-SF round-robin
+    shim, a no-op at scale): at 100 TB this is a map-only pass."""
     docs = _docs(spark, sf_dir)
     seeded = F.concat(
         F.col("text"),

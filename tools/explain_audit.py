@@ -86,6 +86,18 @@ AUDITS = [
     # audited plan is the final size-window over the converged labels
     # (a localCheckpoint RDD scan — ExistingRDD is EXPECTED here)
     ("dedup_clusters", ["Window"], ["Python", "CartesianProduct"]),
+    # round-3 wave 2: redaction is a map-only codegen pass — no KEY
+    # shuffle (hashpartitioning) ever; the only Exchange allowed is the
+    # documented `_spread` round-robin small-SF shim, which no-ops at
+    # scale. Decontamination must broadcast the benchmark gram index
+    # (SortMergeJoin would shuffle the full corpus gram stream); packing
+    # is ONE shuffle to the bucket shards then a single pandas pass
+    ("doc_redact", ["Project", "ReadSchema"],
+     ["hashpartitioning", "Python", "Join"]),
+    ("corpus_decontaminate", ["BroadcastHashJoin", "HashAggregate"],
+     ["SortMergeJoin", "Python", "CartesianProduct"]),
+    ("corpus_pack_sequences", ["FlatMapGroupsInPandas|MapInPandas"],
+     ["Join", "CartesianProduct"]),
 ]
 
 
