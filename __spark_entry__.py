@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_pipeline": q.corpus_curation_pipeline,
         "corpus_decontaminate": q.corpus_decontaminate,
         "corpus_pack_sequences": q.corpus_pack_sequences,
+        "doc_quality_gopher": q.doc_quality_gopher,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
         # --- multimodal (real BMP/PPM/WAV decode) ---
@@ -610,6 +611,42 @@ def oracle_sql() -> dict[str, str]:
                    cast(cluster_id as bigint) cluster_id,
                    cast(count(*) OVER (PARTITION BY cluster_id) as bigint) n_docs
             FROM asg""",
+        # Gopher/C4 quality gate: every metric restated; fractions are
+        # floor(1000·x) so both engines hash bit-identically.
+        "doc_quality_gopher": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END as bigint) n_words,
+                     cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          as bigint) alpha,
+                     cast(len(string_split(text, chr(10))) as bigint) n_lines,
+                     cast(len(string_split(text, chr(10)))
+                          - len(list_distinct(string_split(text, chr(10))))
+                          as bigint) n_dup_lines,
+                     cast(len(list_filter(
+                            ['the','and','of','to','is','in','that','it'],
+                            w -> list_contains(
+                              list_distinct(regexp_extract_all(lower(text), '\w+')),
+                              w))) as bigint) n_stopwords
+              FROM documents),
+            x AS (
+              SELECT doc_id, n_words,
+                     cast(CASE WHEN n_words = 0 THEN 0
+                          ELSE floor(1000.0 * alpha / n_words)
+                          END as bigint) mean_word_len_x1000,
+                     cast(floor(1000.0 * n_dup_lines / n_lines) as bigint)
+                          dup_line_frac_x1000,
+                     n_stopwords
+              FROM m)
+            SELECT doc_id, n_words, mean_word_len_x1000,
+                   dup_line_frac_x1000, n_stopwords,
+                   (n_words >= 50
+                    AND mean_word_len_x1000 BETWEEN 3000 AND 10000
+                    AND dup_line_frac_x1000 <= 300
+                    AND n_stopwords >= 2) keep
+            FROM x""",
         # Sequence packing: the greedy first-fit fold restated as a
         # recursive CTE stepping row_number within each bucket — the
         # serial-within-shard semantics the applyInPandas pass implements.

@@ -709,6 +709,49 @@ def corpus_sample_stratified(spark, sf_dir):
             .filter(F.col("strat_hash") < rate))
 
 
+# Gopher/C4-style corpus quality gate thresholds (word count, mean word
+# length, duplicate-line fraction, stopword presence). Fractions are
+# floor(1000·x) integers so both engines hash bit-identically.
+GOPHER_MIN_WORDS = 50
+GOPHER_MWL_X1000 = (3000, 10000)
+GOPHER_MAX_DUP_LINE_X1000 = 300
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ["the", "and", "of", "to", "is", "in", "that", "it"]
+
+
+def doc_quality_gopher(spark, sf_dir):
+    """Gopher/C4-style repetition + quality metrics and keep decision —
+    the corpus-scale quality gate the reference's A6/A7 scores don't
+    cover: word-count bounds, mean word length, duplicate-line fraction
+    (repetition), and stopword presence. All JVM expressions (map-only,
+    codegen); the DuckDB twin restates every metric, so the keep
+    decision itself is certified value-exact."""
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    n_words = (F.when(F.length(F.trim(text)) == 0, F.lit(0))
+               .otherwise(F.size(F.split(F.trim(text), r"\s+"))).cast("long"))
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    lines = F.split(text, "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    n_dup_lines = (n_lines - F.size(F.array_distinct(lines))).cast("long")
+    wd = F.array_distinct(F.regexp_extract_all(F.lower(text), F.lit(r"\w+"), 0))
+    n_stop = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        lambda w: F.array_contains(wd, w))).cast("long")
+    mwl = (F.when(n_words == 0, F.lit(0))
+           .otherwise(F.floor(F.lit(1000.0) * alpha / n_words)).cast("long"))
+    dup_frac = F.floor(F.lit(1000.0) * n_dup_lines / n_lines).cast("long")
+    keep = ((n_words >= GOPHER_MIN_WORDS)
+            & mwl.between(*GOPHER_MWL_X1000)
+            & (dup_frac <= GOPHER_MAX_DUP_LINE_X1000)
+            & (n_stop >= GOPHER_MIN_STOPWORDS))
+    return docs.select(
+        "doc_id", n_words.alias("n_words"),
+        mwl.alias("mean_word_len_x1000"),
+        dup_frac.alias("dup_line_frac_x1000"),
+        n_stop.alias("n_stopwords"), keep.alias("keep"))
+
+
 CURATION_MIN_SCORE_X1E6 = 13_000_000  # A7 score ≥ 13.0 (~p50 of the corpus)
 
 

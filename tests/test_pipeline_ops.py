@@ -144,3 +144,32 @@ def test_pack_sequences_invariants(spark, tmp_path):
     # (d) repartition-invariance
     out2 = q.corpus_pack_sequences(spark, str(tmp_path)).repartition(3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_gopher_quality_gate_edges(spark, tmp_path):
+    """Gopher gate edge semantics: empty text, all-duplicate lines,
+    word-count boundary (49 vs 50), stopword boundary (1 vs 2), and a
+    clean passing doc."""
+    import ocr_image_to_text_spark.queries as q
+
+    passing = ("the cat and the dog sat in the garden of the house "
+               "that it liked most days ") * 3          # >=50 words, stopwords
+    docs = [
+        (0, "", "en", "s", 0),                          # empty
+        (1, "line\nline\nline\nline", "en", "s", 0),    # 75% dup lines
+        (2, "the it " + "word " * 47, "en", "s", 0),    # 49 words
+        (3, "the it " + "word " * 48, "en", "s", 0),    # 50 words -> keep
+        (4, "the " + "word " * 60, "en", "s", 0),       # 1 stopword only
+        (5, passing.strip(), "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in q.doc_quality_gopher(spark, str(tmp_path)).collect()}
+
+    assert got[0].n_words == 0 and not got[0].keep
+    assert got[1].dup_line_frac_x1000 == 750 and not got[1].keep
+    assert got[2].n_words == 49 and not got[2].keep
+    assert got[3].n_words == 50 and got[3].keep
+    assert got[4].n_stopwords == 1 and not got[4].keep
+    assert got[5].keep
