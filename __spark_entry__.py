@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": q.corpus_decontaminate,
         "corpus_pack_sequences": q.corpus_pack_sequences,
         "doc_quality_gopher": q.doc_quality_gopher,
+        "corpus_top_tokens": q.corpus_top_tokens,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
         # --- multimodal (real BMP/PPM/WAV decode) ---
@@ -611,6 +612,15 @@ def oracle_sql() -> dict[str, str]:
                    cast(cluster_id as bigint) cluster_id,
                    cast(count(*) OVER (PARTITION BY cluster_id) as bigint) n_docs
             FROM asg""",
+        # Heavy hitters: deterministic tie order (n desc, token asc)
+        # makes the top-100 set identical on both engines.
+        "corpus_top_tokens": r"""
+            SELECT token, cast(count(*) as bigint) n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 100""",
         # Gopher/C4 quality gate: every metric restated; fractions are
         # floor(1000·x) so both engines hash bit-identically.
         "doc_quality_gopher": r"""

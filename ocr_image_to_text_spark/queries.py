@@ -752,6 +752,21 @@ def doc_quality_gopher(spark, sf_dir):
         n_stop.alias("n_stopwords"), keep.alias("keep"))
 
 
+def corpus_top_tokens(spark, sf_dir, k: int = 100):
+    """Exact corpus heavy hitters: top-k token frequencies. The classic
+    two-level aggregation — map-side partial counts combine before the
+    single shuffle on token, then a per-partition top-k merge
+    (TakeOrderedAndProject), so the full token vocabulary is never
+    sorted globally. Ties break on token asc for determinism."""
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
+    return (docs.select(tok.alias("token"))
+            .groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("token"))
+            .limit(k))
+
+
 CURATION_MIN_SCORE_X1E6 = 13_000_000  # A7 score ≥ 13.0 (~p50 of the corpus)
 
 

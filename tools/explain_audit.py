@@ -94,6 +94,12 @@ AUDITS = [
     # is ONE shuffle to the bucket shards then a single pandas pass
     ("doc_redact", ["Project", "ReadSchema"],
      ["hashpartitioning", "Python", "Join"]),
+    ("doc_quality_gopher", ["Project", "ReadSchema"],
+     ["hashpartitioning", "Python", "Join"]),
+    # heavy hitters: partial agg combines map-side before the one token
+    # shuffle; top-k is a TakeOrdered merge, never a global sort
+    ("corpus_top_tokens", ["HashAggregate", "TakeOrderedAndProject"],
+     ["Python", "Join", "CartesianProduct"]),
     ("corpus_decontaminate", ["BroadcastHashJoin", "HashAggregate"],
      ["SortMergeJoin", "Python", "CartesianProduct"]),
     ("corpus_pack_sequences", ["FlatMapGroupsInPandas|MapInPandas"],
