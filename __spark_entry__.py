@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxes_avg_conf": q.boxes_avg_conf,
         "extract_angle_mode": q.extract_angle_mode,
         "extract_metrics_cube": q.extract_metrics_cube,
+        "extract_conv_quality": q.extract_conv_quality,
         "doc_keyword_topk_x5": q.doc_keyword_topk_x5,
         "doc_txt_envelope": q.doc_txt_envelope,
         # --- training-data pipeline ops ---
@@ -469,6 +470,19 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(chars_out) as bigint) sum_chars_out
             FROM read_parquet('{_g("extract")}')
             GROUP BY CUBE (kind, table_flag)""",
+        "extract_conv_quality": f"""
+            SELECT conv_id, count(*) n_turns,
+                   cast(sum(chars_in) as bigint) sum_chars_in,
+                   cast(sum(chars_out) as bigint) sum_chars_out,
+                   cast(CASE WHEN sum(n_blocks_kept) + sum(n_blocks_dropped) = 0
+                        THEN 0
+                        ELSE floor(1000.0 * sum(n_blocks_kept)
+                             / (sum(n_blocks_kept) + sum(n_blocks_dropped)))
+                        END as bigint) keep_ratio_x1000,
+                   cast(sum(CASE WHEN extracted_text = '' THEN 1 ELSE 0 END)
+                        as bigint) n_empty_turns
+            FROM read_parquet('{_g("extract")}')
+            GROUP BY conv_id""",
         "doc_keyword_topk_x5": f"""
             WITH d AS (SELECT doc_id, lower(text) cl,
                               regexp_extract_all(lower(text), '\\w+') cw FROM documents),

@@ -504,6 +504,28 @@ def extract_metrics_cube(spark, sf_dir):
                  F.sum("chars_out").alias("sum_chars_out")))
 
 
+def extract_conv_quality(spark, sf_dir):
+    """Per-conversation extraction-quality rollup over the per-turn
+    extraction output: turn counts, char in/out totals, block keep-ratio
+    (floor(1000·kept/(kept+dropped))), and empty-extraction turn count —
+    the lineage metrics a curation pass gates whole conversations on.
+    One shuffle on conv_id with map-side partials; the oracle aggregates
+    the same pyref golden the per-turn queries are checked against, so
+    the rollup is certified end-to-end from raw turns."""
+    ext = _extracted(spark, sf_dir)
+    kept = F.sum("n_blocks_kept")
+    dropped = F.sum("n_blocks_dropped")
+    return (ext.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("chars_in").cast("long").alias("sum_chars_in"),
+        F.sum("chars_out").cast("long").alias("sum_chars_out"),
+        F.when(kept + dropped == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(1000.0) * kept / (kept + dropped)))
+        .cast("long").alias("keep_ratio_x1000"),
+        F.sum(F.when(F.col("extracted_text") == "", 1).otherwise(0))
+        .cast("long").alias("n_empty_turns")))
+
+
 def doc_keyword_topk_x5(spark, sf_dir, k: int = 3):
     """Full X5 (ocr_app/utils/text_utils.py:117-155): normalized score with
     the all-zero fallback (top-k at score 0.1).
