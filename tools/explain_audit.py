@@ -100,6 +100,10 @@ AUDITS = [
     # shuffle; top-k is a TakeOrdered merge, never a global sort
     ("corpus_top_tokens", ["HashAggregate", "TakeOrderedAndProject"],
      ["Python", "Join", "CartesianProduct"]),
+    # conv rollup: one conv_id shuffle over the cached extraction (the
+    # single ArrowEvalPython belongs to the extraction dispatch UDF)
+    ("extract_conv_quality", ["HashAggregate"],
+     ["Join", "CartesianProduct", "Window"]),
     ("corpus_decontaminate", ["BroadcastHashJoin", "HashAggregate"],
      ["SortMergeJoin", "Python", "CartesianProduct"]),
     ("corpus_pack_sequences", ["FlatMapGroupsInPandas|MapInPandas"],
