@@ -173,3 +173,38 @@ def test_gopher_quality_gate_edges(spark, tmp_path):
     assert got[3].n_words == 50 and got[3].keep
     assert got[4].n_stopwords == 1 and not got[4].keep
     assert got[5].keep
+
+
+def test_pack_sequences_matches_reference_fold_randomized(spark, tmp_path):
+    """Seeded-random equivalence: Spark packing == a plain-Python greedy
+    fold over every bucket, on 300 docs with word counts spanning the
+    capacity (including > capacity)."""
+    import random
+
+    import ocr_image_to_text_spark.queries as q
+
+    rng = random.Random(0xC0FFEE)
+    docs = [(i, "w " * rng.choice([1, 7, 40, 120, 255, 256, 257, 300]),
+             "en", "s", 0) for i in range(300)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), l, s, n) for i, t, l, s, n in docs],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.repartition(11).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.doc_id: (r.bucket, r.pack_seq)
+           for r in q.corpus_pack_sequences(spark, str(tmp_path)).collect()}
+
+    # reference fold
+    by_bucket = {}
+    for i, t, *_ in docs:
+        by_bucket.setdefault(i % q.PACK_BUCKETS, []).append(
+            (i, len(t.strip().split())))
+    want = {}
+    for b, items in by_bucket.items():
+        s, cur = 0, 0
+        for doc_id, n in sorted(items):
+            if cur > 0 and cur + n > q.PACK_CAPACITY:
+                s, cur = s + 1, 0
+            want[doc_id] = (b, s)
+            cur += n
+    assert got == want
