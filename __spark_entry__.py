@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_pipeline": q.corpus_curation_pipeline,
         "corpus_decontaminate": q.corpus_decontaminate,
         "corpus_pack_sequences": q.corpus_pack_sequences,
+        "corpus_pipeline_v2": q.corpus_pipeline_v2,
         "doc_quality_gopher": q.doc_quality_gopher,
         "corpus_top_tokens": q.corpus_top_tokens,
         "chunk_l2_topk": q.chunk_l2_topk,
@@ -650,7 +651,7 @@ def oracle_sql() -> dict[str, str]:
                           - len(list_distinct(string_split(text, chr(10))))
                           as bigint) n_dup_lines,
                      cast(len(list_filter(
-                            ['the','and','of','to','is','in','that','it'],
+                            ['the','a','and','of','to','is','in','that','it'],
                             w -> list_contains(
                               list_distinct(regexp_extract_all(lower(text), '\w+')),
                               w))) as bigint) n_stopwords
@@ -671,6 +672,76 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_line_frac_x1000 <= 300
                     AND n_stopwords >= 2) keep
             FROM x""",
+        # Full pretraining-prep composition: gopher gate -> benchmark
+        # decontamination -> exact dedup -> greedy packing, all four
+        # stages restated (packing as the recursive greedy fold).
+        "corpus_pipeline_v2": r"""
+            WITH RECURSIVE m AS (
+              SELECT doc_id, text,
+                     cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END as bigint) n_words,
+                     cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          as bigint) alpha,
+                     cast(len(string_split(text, chr(10))) as bigint) n_lines,
+                     cast(len(string_split(text, chr(10)))
+                          - len(list_distinct(string_split(text, chr(10))))
+                          as bigint) n_dup_lines,
+                     cast(len(list_filter(
+                            ['the','a','and','of','to','is','in','that','it'],
+                            w -> list_contains(
+                              list_distinct(regexp_extract_all(lower(text), '\w+')),
+                              w))) as bigint) n_stopwords
+              FROM documents),
+            gated AS (
+              SELECT doc_id, text, n_words FROM (
+                SELECT doc_id, text, n_words, n_stopwords,
+                       cast(CASE WHEN n_words = 0 THEN 0
+                            ELSE floor(1000.0 * alpha / n_words)
+                            END as bigint) mwl,
+                       cast(floor(1000.0 * n_dup_lines / n_lines) as bigint) dupf
+                FROM m)
+              WHERE n_words >= 50 AND mwl BETWEEN 3000 AND 10000
+                AND dupf <= 300 AND n_stopwords >= 2),
+            shw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws
+                    FROM documents),
+            grams AS (SELECT doc_id,
+                        unnest(list_distinct(list_transform(
+                          generate_series(1, greatest(len(ws) - 2, 1)),
+                          i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) gram
+                      FROM shw),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 47 = 0),
+            corp AS (SELECT doc_id, text, n_words FROM gated
+                     WHERE doc_id % 47 != 0),
+            contaminated AS (
+              SELECT DISTINCT gr.doc_id
+              FROM grams gr
+              JOIN corp c ON gr.doc_id = c.doc_id
+              JOIN bench b ON gr.gram = b.gram),
+            clean AS (SELECT * FROM corp
+                      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            dd AS (SELECT doc_id, n_words FROM (
+                     SELECT doc_id, n_words,
+                            row_number() OVER (PARTITION BY md5(text)
+                                               ORDER BY doc_id) rn
+                     FROM clean)
+                   WHERE rn = 1),
+            toks AS (SELECT doc_id, n_words n_tokens, doc_id % 16 bucket,
+                            row_number() OVER (PARTITION BY doc_id % 16
+                                               ORDER BY doc_id) rn
+                     FROM dd),
+            g AS (
+              SELECT bucket, rn, doc_id, n_tokens,
+                     cast(0 as bigint) pack_seq, n_tokens cur
+              FROM toks WHERE rn = 1
+              UNION ALL
+              SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                     CASE WHEN g.cur > 0 AND g.cur + t.n_tokens > 256
+                          THEN g.pack_seq + 1 ELSE g.pack_seq END,
+                     CASE WHEN g.cur > 0 AND g.cur + t.n_tokens > 256
+                          THEN t.n_tokens ELSE g.cur + t.n_tokens END
+              FROM g JOIN toks t ON t.bucket = g.bucket AND t.rn = g.rn + 1)
+            SELECT doc_id, n_tokens, bucket, pack_seq FROM g""",
         # Sequence packing: the greedy first-fit fold restated as a
         # recursive CTE stepping row_number within each bucket — the
         # serial-within-shard semantics the applyInPandas pass implements.

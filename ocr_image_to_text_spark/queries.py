@@ -738,18 +738,12 @@ GOPHER_MIN_WORDS = 50
 GOPHER_MWL_X1000 = (3000, 10000)
 GOPHER_MAX_DUP_LINE_X1000 = 300
 GOPHER_MIN_STOPWORDS = 2
-GOPHER_STOPWORDS = ["the", "and", "of", "to", "is", "in", "that", "it"]
+GOPHER_STOPWORDS = ["the", "a", "and", "of", "to", "is", "in", "that", "it"]
 
 
-def doc_quality_gopher(spark, sf_dir):
-    """Gopher/C4-style repetition + quality metrics and keep decision —
-    the corpus-scale quality gate the reference's A6/A7 scores don't
-    cover: word-count bounds, mean word length, duplicate-line fraction
-    (repetition), and stopword presence. All JVM expressions (map-only,
-    codegen); the DuckDB twin restates every metric, so the keep
-    decision itself is certified value-exact."""
-    docs = _docs(spark, sf_dir)
-    text = F.col("text")
+def _gopher_metrics(text):
+    """Gopher/C4 metric expressions over a text Column → dict of Columns
+    (shared by the standalone gate query and the composed pipeline)."""
     n_words = (F.when(F.length(F.trim(text)) == 0, F.lit(0))
                .otherwise(F.size(F.split(F.trim(text), r"\s+"))).cast("long"))
     alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("long")
@@ -767,11 +761,22 @@ def doc_quality_gopher(spark, sf_dir):
             & mwl.between(*GOPHER_MWL_X1000)
             & (dup_frac <= GOPHER_MAX_DUP_LINE_X1000)
             & (n_stop >= GOPHER_MIN_STOPWORDS))
+    return {"n_words": n_words, "mean_word_len_x1000": mwl,
+            "dup_line_frac_x1000": dup_frac, "n_stopwords": n_stop,
+            "keep": keep}
+
+
+def doc_quality_gopher(spark, sf_dir):
+    """Gopher/C4-style repetition + quality metrics and keep decision —
+    the corpus-scale quality gate the reference's A6/A7 scores don't
+    cover: word-count bounds, mean word length, duplicate-line fraction
+    (repetition), and stopword presence. All JVM expressions (map-only,
+    codegen); the DuckDB twin restates every metric, so the keep
+    decision itself is certified value-exact."""
+    docs = _docs(spark, sf_dir)
+    m = _gopher_metrics(F.col("text"))
     return docs.select(
-        "doc_id", n_words.alias("n_words"),
-        mwl.alias("mean_word_len_x1000"),
-        dup_frac.alias("dup_line_frac_x1000"),
-        n_stop.alias("n_stopwords"), keep.alias("keep"))
+        "doc_id", *[c.alias(n) for n, c in m.items()])
 
 
 def corpus_top_tokens(spark, sf_dir, k: int = 100):
@@ -840,22 +845,28 @@ def corpus_pack_sequences(spark, sf_dir):
     toks = docs.select(
         "doc_id", n_tokens.alias("n_tokens"),
         (F.col("doc_id") % PACK_BUCKETS).alias("bucket"))
+    return _pack_by_bucket(toks)
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        ns = pdf["n_tokens"].to_numpy()
-        seq = np.zeros(len(pdf), dtype=np.int64)
-        s, cur = 0, 0
-        for i, n in enumerate(ns):
-            if cur > 0 and cur + n > PACK_CAPACITY:
-                s, cur = s + 1, 0
-            seq[i] = s
-            cur += n
-        return pdf.assign(pack_seq=seq)
 
+def _pack_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy first-fit fold within one bucket (doc_id order)."""
+    import numpy as np
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    ns = pdf["n_tokens"].to_numpy()
+    seq = np.zeros(len(pdf), dtype=np.int64)
+    s, cur = 0, 0
+    for i, n in enumerate(ns):
+        if cur > 0 and cur + n > PACK_CAPACITY:
+            s, cur = s + 1, 0
+        seq[i] = s
+        cur += n
+    return pdf.assign(pack_seq=seq)
+
+
+def _pack_by_bucket(toks: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, bucket) → + pack_seq via one grouped-pandas pass."""
     return toks.groupBy("bucket").applyInPandas(
-        pack, "doc_id long, n_tokens long, bucket long, pack_seq long")
+        _pack_pandas, "doc_id long, n_tokens long, bucket long, pack_seq long")
 
 
 def corpus_curation_pipeline(spark, sf_dir):
@@ -903,6 +914,52 @@ def corpus_curation_pipeline(spark, sf_dir):
                  .select(F.col("doc_b").alias("doc_id")).distinct())
     return (deduped.join(near_dups, "doc_id", "left_anti")
             .select(F.col("doc_id").cast("long"), "score_x1e6", "lang"))
+
+
+def corpus_pipeline_v2(spark, sf_dir):
+    """Raw docs → packed training manifest, one DAG — the full modern
+    pretraining-prep composition, each stage reusing an
+    already-oracle-checked operator:
+
+      1. Gopher/C4 quality gate (map-only codegen, `_gopher_metrics`);
+      2. test-set decontamination — drop the benchmark slice
+         (doc_id % 47 == 0) and every doc sharing a word n-gram with it
+         (broadcast benchmark gram index, anti-join);
+      3. exact dedup — keep the smallest doc_id per md5(text) among
+         survivors (one shuffle on the content hash);
+      4. greedy sequence packing of survivors into PACK_CAPACITY-token
+         sequences (parallel-across-buckets grouped-pandas pass).
+
+    Scale: gate is map-side; decontamination never shuffles the corpus
+    for its join; dedup and packing are one key-shuffle each. Output:
+    (doc_id, n_tokens, bucket, pack_seq) — the training-data manifest.
+    The DuckDB twin restates all four stages (recursive CTE for the
+    packing fold), so the composition is certified value-exact
+    end-to-end."""
+    docs = _docs(spark, sf_dir)
+    gated = docs.filter(_gopher_metrics(F.col("text"))["keep"])
+
+    grams = dedup.shingle_array()
+    bench = (docs.filter(F.col("doc_id") % 47 == 0)
+             .select(F.explode(grams).alias("gram")).distinct())
+    corp = gated.filter(F.col("doc_id") % 47 != 0)
+    contaminated = (corp.select("doc_id", F.explode(grams).alias("gram"))
+                    .join(F.broadcast(bench), "gram")
+                    .select("doc_id").distinct())
+    clean = corp.join(contaminated, "doc_id", "left_anti")
+
+    w = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+    deduped = (clean.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1).drop("rn"))
+
+    text = F.col("text")
+    n_tokens = (F.when(F.length(F.trim(text)) == 0, F.lit(0))
+                .otherwise(F.size(F.split(F.trim(text), r"\s+")))
+                .cast("long"))
+    toks = deduped.select(
+        "doc_id", n_tokens.alias("n_tokens"),
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"))
+    return _pack_by_bucket(toks)
 
 
 CHUNK_RETRIEVAL_QUERY = "spark data engine quality filter"

@@ -104,6 +104,12 @@ AUDITS = [
     # single ArrowEvalPython belongs to the extraction dispatch UDF)
     ("extract_conv_quality", ["HashAggregate"],
      ["Join", "CartesianProduct", "Window"]),
+    # composed pretraining prep: the decontamination stage must still
+    # broadcast inside the composition, packing is the single grouped-
+    # pandas pass, dedup the single Window — and no cartesian anywhere
+    ("corpus_pipeline_v2",
+     ["BroadcastHashJoin", "FlatMapGroupsInPandas", "Window"],
+     ["SortMergeJoin", "CartesianProduct"]),
     ("corpus_decontaminate", ["BroadcastHashJoin", "HashAggregate"],
      ["SortMergeJoin", "Python", "CartesianProduct"]),
     ("corpus_pack_sequences", ["FlatMapGroupsInPandas|MapInPandas"],
