@@ -100,6 +100,35 @@ def dedup_stream(spark: SparkSession, source_dir: str, out_dir: str,
     return q
 
 
+def decontaminate_stream(spark: SparkSession, source_dir: str,
+                         bench_grams: list[str], out_dir: str,
+                         checkpoint_dir: str,
+                         await_termination: bool = True):
+    """Streaming test-set decontamination — the incremental twin of the
+    batch `corpus_decontaminate`: drop any streamed turn whose word
+    n-gram set overlaps the static benchmark gram set. The gram set is
+    inlined as a literal array, so the check is a stateless map-side JVM
+    filter on the stream (no join, no state, no Python) — valid exactly
+    because eval sets are tiny (KBs) next to the corpus; for larger
+    benchmark sets the same semantics run as an explode + stream-static
+    broadcast anti-join. Exactly-once across restarts via the
+    checkpoint's file-source log."""
+    from ..dedup import shingle_array
+
+    stream = read_transcript_stream(spark, source_dir)
+    bench = F.array(*[F.lit(g) for g in sorted(set(bench_grams))])
+    clean = stream.filter(~F.arrays_overlap(shingle_array(), bench))
+    q = (clean.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .outputMode("append")
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def hourly_kind_counts_stream(spark: SparkSession, source_dir: str,
                               out_dir: str, checkpoint_dir: str,
                               watermark: str = "1 hour",

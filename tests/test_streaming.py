@@ -138,3 +138,35 @@ def test_dedup_stream_drops_watermark_horizon_duplicates(spark, tmp_path, split_
     exp_hashes = (spark.read.parquet(str(d))
                   .select(F.md5("text").alias("h")).distinct().count())
     assert n_hashes == exp_hashes  # nothing was lost
+
+
+def test_decontaminate_stream_equals_batch_filter(spark, tmp_path, split_source):
+    """Streaming decontamination must emit exactly the turns the batch
+    gram-overlap filter keeps (incremental == batch)."""
+    from pyspark.sql import functions as F
+
+    from ocr_image_to_text_spark.dedup import shingle_array
+    from ocr_image_to_text_spark.streaming.pipeline import decontaminate_stream
+
+    d, t, half = split_source
+    pq.write_table(t.slice(half), str(d / "part-1.parquet"))
+
+    batch = spark.read.parquet(str(d))
+    # benchmark grams = the 3-grams of the two longest turns (guarantees
+    # overlap hits without hand-picking corpus content)
+    bench_rows = (batch.orderBy(F.length("text").desc(), "conv_id", "turn_idx")
+                  .limit(2).select(F.explode(shingle_array()).alias("g"))
+                  .collect())
+    bench = [r.g for r in bench_rows]
+    assert bench, "fixture must yield benchmark grams"
+
+    out, ckpt = str(tmp_path / "dcout"), str(tmp_path / "dcckpt")
+    decontaminate_stream(spark, str(d), bench, out, ckpt)
+
+    got = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()}
+    barr = F.array(*[F.lit(g) for g in sorted(set(bench))])
+    want = {(r.conv_id, r.turn_idx)
+            for r in batch.filter(~F.arrays_overlap(shingle_array(), barr))
+            .collect()}
+    assert got == want
+    assert len(want) < batch.count()  # the filter actually dropped turns
