@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q.ann_ivf_topk,
         "dedup_simhash_pairs": q.dedup_simhash_pairs,
         "dedup_clusters": q.dedup_clusters,
+        "semdedup_prune": q.semdedup_prune,
+        "dedup_dup_spans": q.dedup_dup_spans,
         "doc_length_histogram": q.doc_length_histogram,
         "corpus_sample_stratified": q.corpus_sample_stratified,
         "corpus_curation_pipeline": q.corpus_curation_pipeline,
@@ -595,6 +597,52 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_r DESC, neighbor_id) rank FROM j)
             WHERE rank <= 3""",
+        # SemDeDup (Abbas et al. 2023): same deterministic centroids /
+        # rounded folds as the IVF twin; within-cell keep order is
+        # (dist-to-centroid DESC, vec_id) per the paper's keep-hard rule.
+        "semdedup_prune": f"""
+            WITH {_EMB_NORM},
+            c AS (SELECT vec_id cid, e ce FROM n WHERE vec_id < 16),
+            ad AS (SELECT b.vec_id, c.cid,
+                     round(list_sum(list_transform(generate_series(1, len(b.e)),
+                           i -> (b.e[i] - c.ce[i]) * (b.e[i] - c.ce[i]))), 9) d
+                   FROM n b, c),
+            asn AS (SELECT vec_id, cid cell, d dcent FROM
+                      (SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cid) rn FROM ad)
+                    WHERE rn = 1),
+            m AS (SELECT n.vec_id, n.e, n.nrm, a.cell, a.dcent
+                  FROM n JOIN asn a USING (vec_id)),
+            p AS (SELECT a.vec_id, b.vec_id partner,
+                    round(list_sum(list_transform(generate_series(1, len(a.e)),
+                          i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 9) cos_r
+                  FROM m a JOIN m b ON a.cell = b.cell
+                  WHERE (b.dcent > a.dcent
+                         OR (b.dcent = a.dcent AND b.vec_id < a.vec_id))),
+            r AS (SELECT vec_id, partner, cos_r,
+                    row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos_r DESC, partner) rn
+                  FROM p WHERE cos_r >= 0.35)
+            SELECT cast(m.vec_id as bigint) vec_id, cast(m.cell as bigint) cell,
+                   cast(r.vec_id IS NULL as bigint) keep,
+                   cast(r.partner as bigint) dup_of,
+                   cast(floor(r.cos_r * 1000000000 + 0.5) as bigint) cos_x1e9
+            FROM m LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+                 ON r.vec_id = m.vec_id""",
+        # Lee et al. 2022 ExactSubstr signal at word-3-gram granularity:
+        # only the w/shl/sh CTEs of _SHINGLES are referenced (DuckDB does
+        # not evaluate the unreferenced pair-join CTEs).
+        "dedup_dup_spans": f"""
+            WITH {_SHINGLES},
+            dfq AS (SELECT shingle, count(*) df FROM sh GROUP BY 1)
+            SELECT cast(sh.doc_id as bigint) doc_id,
+                   cast(count(*) as bigint) n_grams,
+                   cast(sum(CASE WHEN dfq.df > 1 THEN 1 ELSE 0 END) as bigint)
+                       n_dup_grams,
+                   cast(floor(1000.0 * sum(CASE WHEN dfq.df > 1 THEN 1 ELSE 0 END)
+                        / count(*)) as bigint) dup_frac_x1000
+            FROM sh JOIN dfq USING (shingle)
+            GROUP BY sh.doc_id""",
         "dedup_simhash_pairs": f"""
             WITH t AS (SELECT doc_id,
                 list_transform(list_distinct(regexp_extract_all(lower(text), '\\w+')),

@@ -114,6 +114,38 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold_x1000: int = 100,
     )
 
 
+def dup_gram_stats(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
+    """Exact-substring duplication signal per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the suffix-array ExactSubstr signal restated at
+    word-n-gram granularity, the standard shuffle-friendly form at corpus
+    scale). A doc's distinct word n-grams are matched against corpus-wide
+    gram document frequency; a gram is duplicated iff it occurs in ≥ 1
+    OTHER document.
+
+    Scale: grams explode to ~token-count rows (the algorithm's inherent
+    footprint); gram→df is one shuffle with map-side partial counts, the
+    flag-back is an equi-join on the gram key that reuses that shuffle
+    partitioning, and the per-doc rollup is one shuffle on doc_id. There
+    is NO self-join, so hot grams cost a count, never a quadratic
+    fan-out — unlike candidate-pair generation, no df cap is needed.
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_frac_x1000).
+    """
+    sh = shingles(docs, width)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    flagged = sh.join(df_counts, "shingle").select(
+        "doc_id", (F.col("df") > 1).cast("int").alias("is_dup"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_grams"),
+             F.sum("is_dup").cast("long").alias("n_dup_grams"))
+        .select(F.col("doc_id").cast("long"), "n_grams", "n_dup_grams",
+                F.floor(F.lit(1000.0) * F.col("n_dup_grams") / F.col("n_grams"))
+                .cast("long").alias("dup_frac_x1000"))
+    )
+
+
 def minhash_signature_cols(num_hashes: int = 8):
     """k minhashes = lexicographic min of md5('<i>:' || shingle)."""
 

@@ -642,6 +642,19 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_bucket_topk(emb, n_queries=20, k=3, dim=dim)
 
 
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023): cluster-then-prune over
+    the embedding space; see similarity.semdedup_prune for the scale notes."""
+    emb, dim = _emb(spark, sf_dir)
+    return similarity.semdedup_prune(emb, n_cells=16, threshold=0.35, dim=dim)
+
+
+def dedup_dup_spans(spark, sf_dir):
+    """Per-doc exact-substring duplication signal (Lee et al. 2022 ExactSubstr
+    at word-3-gram granularity); see dedup.dup_gram_stats for scale notes."""
+    return dedup.dup_gram_stats(_docs(spark, sf_dir))
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF-Flat ANN: deterministic coarse cells + n_probe probing + exact
     in-cell cosine re-rank (Faiss IndexIVFFlat shape; see similarity.ivf_topk

@@ -230,6 +230,78 @@ def _embed_term(text_col, d: int):
     return (v / F.lit(2147483647.0)) - F.lit(1.0)
 
 
+def semdedup_prune(emb: DataFrame, n_cells: int = 16, threshold: float = 0.35,
+                   dim: int = EMB_DIM) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster drop every vector whose cosine similarity to an
+    earlier-ordered cluster member reaches the threshold. Following the
+    paper's keep-hard choice (keep examples with LOW similarity to the
+    centroid), the within-cluster order is distance-to-centroid
+    DESCENDING, ties by vec_id; removal checks ALL earlier members (the
+    paper's non-iterative upper-triangular formulation), so the kept set
+    is order-determined, not chain-dependent.
+
+    Coarse centroids are the embeddings of the n_cells smallest vec_ids —
+    the same deterministic k-means stand-in as ivf_topk (the quantizer's
+    quality is a model boundary; the distributed structure is what this
+    operator provides). Scale: with n_cells ≈ √n (the paper's regime) the
+    in-cell pairwise join is O(n²/n_cells) — the algorithm's inherent
+    cost, paid as ONE equi-join shuffle on the cell id; assignment is a
+    broadcast of the tiny centroid table plus an argmin whose shuffle
+    rows carry (vec_id, struct) — never vectors; no driver collect
+    anywhere. All distances/cosines use the same rounded static fold as
+    the DuckDB twin, so ordering can never disagree across engines.
+
+    Output: (vec_id, cell, keep 0/1, dup_of nullable, cos_x1e9 nullable)
+    where dup_of is the strongest earlier partner at/above threshold.
+    """
+    base = with_norm(emb, dim=dim).select("vec_id", "_e", "_norm")
+    cent = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("_e").alias("_ce"))
+
+    acc = F.lit(0.0)
+    for d in range(dim):
+        t = F.col("_e").getItem(d) - F.col("_ce").getItem(d)
+        acc = acc + t * t
+    dist = F.round(acc, 9)
+
+    ad = (base.select("vec_id", "_e").crossJoin(F.broadcast(cent))
+          .select("vec_id", "cid", dist.alias("d")))
+    asn = (ad.groupBy("vec_id")
+           .agg(F.min(F.struct("d", "cid")).alias("m"))
+           .select("vec_id", F.col("m.cid").alias("cell"),
+                   F.col("m.d").alias("dcent")))
+    members = base.join(asn, "vec_id")
+
+    a = members.select("cell", "vec_id", F.col("_e").alias("_ea"),
+                       F.col("_norm").alias("_na"), F.col("dcent").alias("da"))
+    b = members.select("cell", F.col("vec_id").alias("partner"),
+                       F.col("_e").alias("_eb"), F.col("_norm").alias("_nb"),
+                       F.col("dcent").alias("db"))
+    earlier = ((F.col("db") > F.col("da"))
+               | ((F.col("db") == F.col("da"))
+                  & (F.col("partner") < F.col("vec_id"))))
+    pairs = (a.join(b, "cell")
+             .filter(earlier)
+             .withColumn("cos_r", F.round(
+                 _dot(F.col("_ea"), F.col("_eb"), dim)
+                 / (F.col("_na") * F.col("_nb")), 9))
+             .filter(F.col("cos_r") >= threshold))
+    best = (pairs.groupBy("vec_id")
+            .agg(F.min(F.struct((-F.col("cos_r")).alias("nc"),
+                                F.col("partner"))).alias("m"))
+            .select("vec_id", F.col("m.partner").alias("dup_of"),
+                    (-F.col("m.nc")).alias("best_cos")))
+    return (members.join(best, "vec_id", "left")
+            .select(F.col("vec_id").cast("long"),
+                    F.col("cell").cast("long"),
+                    F.col("dup_of").isNull().cast("long").alias("keep"),
+                    F.col("dup_of").cast("long").alias("dup_of"),
+                    F.floor(F.col("best_cos") * 1e9 + F.lit(0.5))
+                    .cast("long").alias("cos_x1e9")))
+
+
 def chunk_l2_topk(chunks: DataFrame, query_text: str, k: int = 5,
                   dim: int = 16) -> DataFrame:
     """Embedding-based chunk retrieval — the reference's PRIMARY RAG top-k

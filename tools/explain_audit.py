@@ -114,6 +114,19 @@ AUDITS = [
      ["SortMergeJoin", "Python", "CartesianProduct"]),
     ("corpus_pack_sequences", ["FlatMapGroupsInPandas|MapInPandas"],
      ["Join", "CartesianProduct"]),
+    # round-3 wave 3: SemDeDup assigns cells via the broadcast centroid
+    # table (argmin aggregate), then ONE equi-join shuffle on the cell id
+    # for the in-cell pairwise pass — no corpus cartesian, no Python;
+    # the ExactSubstr gram signal is explode → partial-agg df → gram-key
+    # equi-join → doc rollup, with no self-join anywhere
+    ("semdedup_prune",
+     ["BroadcastExchange", "HashAggregate|SortAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["Python", "CartesianProduct"]),
+    ("dedup_dup_spans",
+     ["Generate", "HashAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["Python", "CartesianProduct"]),
 ]
 
 
