@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_dup_spans": q.dedup_dup_spans,
         "doc_length_histogram": q.doc_length_histogram,
         "corpus_sample_stratified": q.corpus_sample_stratified,
+        "corpus_mix_budget": q.corpus_mix_budget,
         "corpus_curation_pipeline": q.corpus_curation_pipeline,
         "corpus_decontaminate": q.corpus_decontaminate,
         "corpus_pack_sequences": q.corpus_pack_sequences,
@@ -677,6 +678,28 @@ def oracle_sql() -> dict[str, str]:
             FROM asg""",
         # Heavy hitters: deterministic tie order (n desc, token asc)
         # makes the top-100 set identical on both engines.
+        # Token-budget source mixing: same (shard, md5(doc_id), doc_id)
+        # order and prefix rule as queries.corpus_mix_budget; the twin
+        # restates the two-phase sum as one composed window expression.
+        "corpus_mix_budget": r"""
+            WITH t AS (SELECT doc_id, source,
+                         cast(len(regexp_extract_all(text, '\S+')) as bigint)
+                             n_tokens,
+                         cast(doc_id % 8 as int) shard,
+                         md5(cast(doc_id as varchar)) h
+                       FROM documents),
+            l AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
+                    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) local_cum
+                  FROM t),
+            o AS (SELECT source, shard,
+                    coalesce(sum(tot) OVER (PARTITION BY source ORDER BY shard
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) t_off
+                  FROM (SELECT source, shard, sum(n_tokens) tot
+                        FROM t GROUP BY 1, 2))
+            SELECT cast(l.doc_id as bigint) doc_id, l.source, l.n_tokens,
+                   cast(l.local_cum + o.t_off as bigint) cum_tokens
+            FROM l JOIN o USING (source, shard)
+            WHERE l.local_cum + o.t_off <= 800""",
         "corpus_top_tokens": r"""
             SELECT token, cast(count(*) as bigint) n
             FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) token

@@ -744,6 +744,56 @@ def corpus_sample_stratified(spark, sf_dir):
             .filter(F.col("strat_hash") < rate))
 
 
+MIX_BUDGET_TOKENS = 800  # per-source token budget (uniform default)
+MIX_SHARDS = 8           # prefix-sum shards per source
+
+
+def corpus_mix_budget(spark, sf_dir, budget: int = MIX_BUDGET_TOKENS,
+                      n_shards: int = MIX_SHARDS):
+    """Token-budget source mixing — the sampling-weights step of
+    pretraining data prep: each source contributes documents, in a
+    deterministic content-independent shuffle order, until its token
+    budget is reached (prefix rule: the doc that would cross the budget
+    and everything after it are dropped).
+
+    Scale: a naive `sum() OVER (PARTITION BY source ORDER BY ...)` makes
+    every source a single sequential task — with tens of sources over
+    10^9 docs that is the whole corpus through a handful of cores. This
+    is instead a TWO-PHASE distributed prefix sum: the source order is
+    defined as (shard, md5(doc_id), doc_id) with shard = doc_id % n_shards,
+    so the running total decomposes into (a) a shard-local cumsum — the
+    Window partitions by (source, shard), n_shards-way parallel per
+    source — plus (b) a per-(source, shard) offset computed from the
+    tiny totals table (n_sources × n_shards rows) and broadcast back.
+    Raise n_shards with the cluster; the order stays deterministic at
+    any width because it is data-defined, not partitioning-defined.
+
+    Output: kept rows (doc_id, source, n_tokens, cum_tokens).
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    base = docs.select(
+        F.col("doc_id").cast("long"), "source",
+        n_tokens.cast("long").alias("n_tokens"),
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"))
+    w_local = (Window.partitionBy("source", "shard")
+               .orderBy("h", "doc_id")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    local = base.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    w_off = (Window.partitionBy("source").orderBy("shard")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (base.groupBy("source", "shard")
+               .agg(F.sum("n_tokens").alias("tot"))
+               .withColumn("off", F.coalesce(F.sum("tot").over(w_off), F.lit(0)))
+               .select("source", "shard", "off"))
+    return (local.join(F.broadcast(offsets), ["source", "shard"])
+            .withColumn("cum_tokens",
+                        (F.col("off") + F.col("local_cum")).cast("long"))
+            .filter(F.col("cum_tokens") <= budget)
+            .select("doc_id", "source", "n_tokens", "cum_tokens"))
+
+
 # Gopher/C4-style corpus quality gate thresholds (word count, mean word
 # length, duplicate-line fraction, stopword presence). Fractions are
 # floor(1000·x) integers so both engines hash bit-identically.

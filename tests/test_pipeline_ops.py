@@ -208,3 +208,47 @@ def test_pack_sequences_matches_reference_fold_randomized(spark, tmp_path):
             want[doc_id] = (b, s)
             cur += n
     assert got == want
+
+
+def test_mix_budget_matches_sequential_prefix(spark, tmp_path):
+    """The two-phase sharded prefix sum must equal the sequential
+    single-scan definition — walk each source in (shard, md5(doc_id),
+    doc_id) order, keep while cumulative tokens <= budget — and be
+    invariant to the input's physical partitioning (the order is
+    data-defined, never partitioning-defined)."""
+    import hashlib
+    import random
+
+    import ocr_image_to_text_spark.queries as q
+
+    rng = random.Random(3)
+    docs = [(i, " ".join(f"w{j}" for j in range(rng.randint(1, 40))),
+             "en", f"s{i % 3}", 0) for i in range(120)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long")
+
+    def run(n_parts):
+        d = tmp_path / f"sf{n_parts}"
+        d.mkdir()
+        df.repartition(n_parts).write.parquet(str(d / "documents.parquet"))
+        out = q.corpus_mix_budget(spark, str(d), budget=150, n_shards=4)
+        return {r.doc_id: (r.source, r.n_tokens, r.cum_tokens)
+                for r in out.collect()}
+
+    got = run(1)
+    assert got == run(9), "result must not depend on input partitioning"
+
+    per_source = {}
+    for i, text, _, src, _ in docs:
+        per_source.setdefault(src, []).append(
+            (i % 4, hashlib.md5(str(i).encode()).hexdigest(), i,
+             len(text.split())))
+    want = {}
+    for src, rows in per_source.items():
+        cum = 0
+        for _, _, i, nt in sorted(rows):
+            cum += nt
+            if cum <= 150:
+                want[i] = (src, nt, cum)
+    assert got == want
+    assert 0 < len(want) < 120, "budget must bite but not empty the corpus"

@@ -127,6 +127,11 @@ AUDITS = [
      ["Generate", "HashAggregate",
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
      ["Python", "CartesianProduct"]),
+    # token-budget mixing: the prefix sum MUST be the two-phase form —
+    # shard-local Window + broadcast of the tiny offsets table; a
+    # SortMergeJoin would betray shuffling the corpus against offsets
+    ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
+     ["Python", "CartesianProduct", "SortMergeJoin"]),
 ]
 
 
