@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": q.corpus_pack_sequences,
         "corpus_pipeline_v2": q.corpus_pipeline_v2,
         "doc_quality_gopher": q.doc_quality_gopher,
+        "doc_repetition_signals": q.doc_repetition_signals,
         "corpus_top_tokens": q.corpus_top_tokens,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
@@ -743,6 +744,71 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_line_frac_x1000 <= 300
                     AND n_stopwords >= 2) keep
             FROM x""",
+        # Gopher §A1.1 repetition signals: every gram width restated;
+        # DuckDB's max(struct) uses the same (cnt, gram) binary ordering
+        # as Spark's max(struct(cnt, gram)), so top-gram ties agree.
+        "doc_repetition_signals": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') words
+              FROM documents),
+            b AS (
+              SELECT doc_id, words,
+                     cast(length(array_to_string(words, ' ')) as bigint)
+                         norm_len
+              FROM w),
+            e AS (
+              SELECT doc_id, norm_len, ns.n AS n,
+                     unnest(list_transform(
+                       range(1, len(words) - ns.n + 2),
+                       i -> array_to_string(words[i:i+ns.n-1], ' '))) gram
+              FROM b, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+              WHERE norm_len > 0),
+            c AS (
+              SELECT doc_id, norm_len, n, gram,
+                     cast(count(*) as bigint) cnt
+              FROM e GROUP BY ALL),
+            a AS (
+              SELECT doc_id, norm_len, n,
+                     max(struct_pack(cnt := cnt, gram := gram)) top,
+                     cast(coalesce(sum(CASE WHEN cnt >= 2
+                                       THEN cnt * length(gram) END), 0)
+                          as bigint) dup_chars
+              FROM c GROUP BY ALL),
+            f AS (
+              SELECT doc_id, n,
+                     cast(floor(1000.0 * ((top).cnt * length((top).gram))
+                                / norm_len) as bigint) top_frac,
+                     cast(floor(1000.0 * dup_chars / norm_len) as bigint)
+                         dup_frac
+              FROM a),
+            p AS (
+              SELECT doc_id,
+                     max(CASE WHEN n=2 THEN top_frac END) t2,
+                     max(CASE WHEN n=3 THEN top_frac END) t3,
+                     max(CASE WHEN n=4 THEN top_frac END) t4,
+                     max(CASE WHEN n=5 THEN dup_frac END) d5,
+                     max(CASE WHEN n=6 THEN dup_frac END) d6,
+                     max(CASE WHEN n=7 THEN dup_frac END) d7,
+                     max(CASE WHEN n=8 THEN dup_frac END) d8,
+                     max(CASE WHEN n=9 THEN dup_frac END) d9,
+                     max(CASE WHEN n=10 THEN dup_frac END) d10
+              FROM f GROUP BY doc_id)
+            SELECT d.doc_id,
+                   cast(coalesce(t2, 0) as bigint) top2_frac_x1000,
+                   cast(coalesce(t3, 0) as bigint) top3_frac_x1000,
+                   cast(coalesce(t4, 0) as bigint) top4_frac_x1000,
+                   cast(coalesce(d5, 0) as bigint) dup5_frac_x1000,
+                   cast(coalesce(d6, 0) as bigint) dup6_frac_x1000,
+                   cast(coalesce(d7, 0) as bigint) dup7_frac_x1000,
+                   cast(coalesce(d8, 0) as bigint) dup8_frac_x1000,
+                   cast(coalesce(d9, 0) as bigint) dup9_frac_x1000,
+                   cast(coalesce(d10, 0) as bigint) dup10_frac_x1000,
+                   (coalesce(t2, 0) <= 200 AND coalesce(t3, 0) <= 180
+                    AND coalesce(t4, 0) <= 160 AND coalesce(d5, 0) <= 150
+                    AND coalesce(d6, 0) <= 140 AND coalesce(d7, 0) <= 130
+                    AND coalesce(d8, 0) <= 120 AND coalesce(d9, 0) <= 110
+                    AND coalesce(d10, 0) <= 100) keep
+            FROM documents d LEFT JOIN p USING (doc_id)""",
         # Full pretraining-prep composition: gopher gate -> benchmark
         # decontamination -> exact dedup -> greedy packing, all four
         # stages restated (packing as the recursive greedy fold).

@@ -842,6 +842,98 @@ def doc_quality_gopher(spark, sf_dir):
         "doc_id", *[c.alias(n) for n, c in m.items()])
 
 
+# Gopher §A1.1 repetition thresholds (Rae et al. 2021, Table A1), as
+# floor(1000·x) integers: top-{2,3,4}-gram char fraction and
+# duplicated-{5..10}-gram char fraction.
+GOPHER_TOP_NGRAM_MAX_X1000 = {2: 200, 3: 180, 4: 160}
+GOPHER_DUP_NGRAM_MAX_X1000 = {5: 150, 6: 140, 7: 130, 8: 120, 9: 110, 10: 100}
+
+
+def doc_repetition_signals(spark, sf_dir):
+    """Gopher repetition signals (Rae et al. 2021 §A1.1): per document,
+    the fraction of characters covered by the most frequent word
+    {2,3,4}-gram and by duplicated (count ≥ 2) word {5..10}-grams, plus
+    the published keep decision over all nine thresholds. Completes the
+    repetition family started by `doc_quality_gopher` (duplicate-line
+    fraction).
+
+    Definitions (deterministic in both engines): words are the `\\w+`
+    tokens of lower(text); a gram's characters are its single-space
+    join length; fractions are over the normalized text length
+    (words joined by single spaces), floor(1000·x); duplicated-gram
+    character mass is summed per distinct gram (count·len), the
+    standard non-overlap-corrected variant. Top-gram ties break on the
+    binary-greatest gram so `max(struct(cnt, gram))` needs no window.
+
+    Scale shape: ONE explode emits all nine gram widths tagged with n
+    (~9× the token stream), partial aggregation combines counts
+    map-side before the single (doc_id, n, gram) shuffle, then two
+    doc-keyed aggregations — no self-join, no window over raw grams,
+    skew bounded by document length. At 100 TB this is the same plan
+    MassiveText ran; the gram shuffle is the irreducible cost."""
+    docs = _docs(spark, sf_dir)
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
+    base = docs.select(
+        "doc_id", words.alias("words"),
+        F.length(F.concat_ws(" ", words)).cast("long").alias("norm_len"))
+
+    def grams_of(n: int):
+        return F.when(
+            F.size("words") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("words") - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ", F.slice("words", i + 1, n)).alias("gram"))),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    exploded = (base
+                .filter(F.col("norm_len") > 0)
+                .select("doc_id", "norm_len",
+                        F.explode(F.flatten(F.array(
+                            *[grams_of(n) for n in range(2, 11)])))
+                        .alias("g"))
+                .select("doc_id", "norm_len",
+                        F.col("g.n").alias("n"), F.col("g.gram").alias("gram")))
+    counts = (exploded.groupBy("doc_id", "norm_len", "n", "gram")
+              .agg(F.count("*").alias("cnt")))
+    per_n = (counts.groupBy("doc_id", "norm_len", "n").agg(
+        F.max(F.struct("cnt", "gram")).alias("top"),
+        F.sum(F.when(F.col("cnt") >= 2,
+                     F.col("cnt") * F.length("gram"))
+              .otherwise(F.lit(0))).cast("long").alias("dup_chars")))
+    per_n = per_n.withColumn(
+        "top_chars", (F.col("top.cnt") * F.length("top.gram")).cast("long"))
+
+    def frac(chars_col):
+        return F.floor(F.lit(1000.0) * chars_col / F.col("norm_len")).cast("long")
+
+    agg_cols, out_names = [], []
+    for n in (2, 3, 4):
+        name = f"top{n}_frac_x1000"
+        agg_cols.append(F.max(F.when(F.col("n") == n,
+                                     frac(F.col("top_chars")))).alias(name))
+        out_names.append(name)
+    for n in range(5, 11):
+        name = f"dup{n}_frac_x1000"
+        agg_cols.append(F.max(F.when(F.col("n") == n,
+                                     frac(F.col("dup_chars")))).alias(name))
+        out_names.append(name)
+    pivot = per_n.groupBy("doc_id").agg(*agg_cols)
+
+    out = docs.select("doc_id").join(pivot, "doc_id", "left")
+    filled = [F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+              for c in out_names]
+    out = out.select("doc_id", *filled)
+    keep = F.lit(True)
+    for n, mx in GOPHER_TOP_NGRAM_MAX_X1000.items():
+        keep = keep & (F.col(f"top{n}_frac_x1000") <= mx)
+    for n, mx in GOPHER_DUP_NGRAM_MAX_X1000.items():
+        keep = keep & (F.col(f"dup{n}_frac_x1000") <= mx)
+    return out.withColumn("keep", keep)
+
+
 def corpus_top_tokens(spark, sf_dir, k: int = 100):
     """Exact corpus heavy hitters: top-k token frequencies. The classic
     two-level aggregation — map-side partial counts combine before the

@@ -252,3 +252,70 @@ def test_mix_budget_matches_sequential_prefix(spark, tmp_path):
                 want[i] = (src, nt, cum)
     assert got == want
     assert 0 < len(want) < 120, "budget must bite but not empty the corpus"
+
+
+def _repetition_bruteforce(text):
+    """Pure-Python restatement of doc_repetition_signals definitions."""
+    import math
+    import re
+    from collections import Counter
+
+    words = re.findall(r"\w+", text.lower())
+    norm_len = len(" ".join(words))
+    out = {}
+    for n in range(2, 11):
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+        c = Counter(grams)
+        key = "top%d_frac_x1000" % n if n <= 4 else "dup%d_frac_x1000" % n
+        if not grams or norm_len == 0:
+            out[key] = 0
+            continue
+        if n <= 4:
+            # max count, ties on binary-greatest gram
+            cnt, gram = max((v, k) for k, v in c.items())
+            chars = cnt * len(gram)
+        else:
+            chars = sum(v * len(k) for k, v in c.items() if v >= 2)
+        out[key] = math.floor(1000.0 * chars / norm_len)
+    return out
+
+
+def test_repetition_signals_matches_bruteforce(spark, tmp_path):
+    """Gopher §A1.1 repetition signals vs a plain-Python restatement on
+    edge-heavy fixtures: empty, single word, n-1 words, fully repeated
+    phrase (top-gram frac near 1000), tie-broken top grams, and
+    seeded-random word soup where duplicated 5..10-grams exist."""
+    import random
+
+    import ocr_image_to_text_spark.queries as q
+
+    rng = random.Random(7)
+    soup = " ".join(rng.choice(["alpha", "beta", "gamma", "delta"])
+                    for _ in range(400))
+    docs = [
+        (0, "", "en", "s", 0),
+        (1, "word", "en", "s", 0),
+        (2, "one two", "en", "s", 0),                      # exactly one 2-gram
+        (3, "spam ham " * 50, "en", "s", 0),               # heavy repetition
+        (4, "aa bb aa bb cc dd cc dd", "en", "s", 0),      # 2-gram tie
+        (5, soup, "en", "s", 0),
+        (6, "the quick brown fox jumps over the lazy dog", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r.asDict()
+           for r in q.doc_repetition_signals(spark, str(tmp_path)).collect()}
+
+    assert set(got) == {d[0] for d in docs}, "every doc must appear"
+    for doc_id, text, *_ in docs:
+        want = _repetition_bruteforce(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == v, (doc_id, k, got[doc_id][k], v)
+    # sanity on the fixtures themselves
+    assert got[3]["top2_frac_x1000"] > 800 and not got[3]["keep"]
+    assert got[0]["keep"] and got[1]["keep"]  # vacuous docs pass the gate
+    # no repeated 5-gram in doc 6; its keep is still False because a
+    # single occurrence of the longest 2-gram exceeds 20% of this short
+    # doc — faithful Gopher behavior (the thresholds assume long docs)
+    assert got[6]["dup5_frac_x1000"] == 0 and not got[6]["keep"]

@@ -132,6 +132,11 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # Gopher repetition signals: one Generate (the 9-width gram explode),
+    # partial-agg combine before the gram shuffle, NO window over raw
+    # grams (top-gram is a max(struct) aggregate), no self-join
+    ("doc_repetition_signals", ["Generate", "HashAggregate|SortAggregate"],
+     ["Python", "CartesianProduct", "Window"]),
 ]
 
 
