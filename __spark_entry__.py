@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q.dedup_clusters,
         "semdedup_prune": q.semdedup_prune,
         "dedup_dup_spans": q.dedup_dup_spans,
+        "dedup_c4_spans": q.dedup_c4_spans,
         "doc_length_histogram": q.doc_length_histogram,
         "corpus_sample_stratified": q.corpus_sample_stratified,
         "corpus_mix_budget": q.corpus_mix_budget,
@@ -645,6 +646,43 @@ def oracle_sql() -> dict[str, str]:
                         / count(*)) as bigint) dup_frac_x1000
             FROM sh JOIN dfq USING (shingle)
             GROUP BY sh.doc_id""",
+        # C4 three-sentence-span dedup: X13 sentinel sentence split,
+        # normalized-md5 span keys, keep-first = min(struct) — DuckDB's
+        # struct min uses the same (doc_id, span_idx) ordering as Spark.
+        "dedup_c4_spans": r"""
+            WITH s AS (SELECT doc_id,
+                string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) l
+                FROM documents),
+            sp AS (
+              SELECT cast(doc_id as bigint) doc_id,
+                     cast(i - 1 as bigint) span_idx,
+                     md5(trim(regexp_replace(
+                       lower(array_to_string(l[i:i+2], ' ')),
+                       '[^a-z0-9]+', ' ', 'g'))) k
+              FROM s, unnest(generate_series(1, len(l) - 2)) t(i)),
+            c AS (
+              SELECT k, count(*) cnt,
+                     min(struct_pack(doc_id := doc_id,
+                                     span_idx := span_idx)) f0
+              FROM sp GROUP BY k),
+            j AS (
+              SELECT sp.doc_id,
+                     CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END is_dup,
+                     CASE WHEN c.cnt = 1
+                            OR ((c.f0).doc_id = sp.doc_id
+                                AND (c.f0).span_idx = sp.span_idx)
+                          THEN 0 ELSE 1 END removed
+              FROM sp JOIN c USING (k)),
+            r AS (
+              SELECT doc_id, cast(count(*) as bigint) n_spans,
+                     cast(sum(is_dup) as bigint) n_dup_spans,
+                     cast(sum(removed) as bigint) n_removed
+              FROM j GROUP BY doc_id)
+            SELECT cast(d.doc_id as bigint) doc_id,
+                   cast(coalesce(r.n_spans, 0) as bigint) n_spans,
+                   cast(coalesce(r.n_dup_spans, 0) as bigint) n_dup_spans,
+                   cast(coalesce(r.n_removed, 0) as bigint) n_removed
+            FROM documents d LEFT JOIN r USING (doc_id)""",
         "dedup_simhash_pairs": f"""
             WITH t AS (SELECT doc_id,
                 list_transform(list_distinct(regexp_extract_all(lower(text), '\\w+')),

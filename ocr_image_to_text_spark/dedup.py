@@ -359,3 +359,60 @@ def simhash_band_pairs(sigs: DataFrame, max_hamming: int = 3, bits: int = 32,
             .filter(F.col("hamming") <= max_hamming)
             .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"),
                     "hamming"))
+
+
+def c4_span_stats(docs: DataFrame, span_sents: int = 3) -> DataFrame:
+    """C4 three-sentence-span dedup signal (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning", §2.2: "we discard all
+    but one of any three-sentence span occurring more than once in the
+    data set"), restated as per-doc keep/drop accounting.
+
+    Sentences use the X13 splitter (rag_processor.py:197 semantics —
+    the same `sentences_col` the `doc_sentences` oracle certifies);
+    spans are the sliding `span_sents`-sentence windows, normalized
+    (lower, non-alnum runs → single space, trim) and keyed by md5. The
+    canonical kept occurrence of a duplicated span is the binary-least
+    (doc_id, span_idx) — `min(struct)`, no window.
+
+    Scale: one explode (~sentence-count rows), one gram-key shuffle
+    with map-side partials, a flag-back equi-join that reuses the
+    key partitioning, one doc_id rollup. No self-join — a span occurring
+    a million times costs one count and a million join probes, never a
+    quadratic fan-out.
+
+    Output: (doc_id, n_spans, n_dup_spans, n_removed) for every doc.
+    """
+    from .functions.textfn import sentences_col
+
+    sents = sentences_col(F.col("text"))
+    spans = F.when(
+        F.size(sents) >= span_sents,
+        F.transform(
+            F.sequence(F.lit(0), F.size(sents) - span_sents),
+            lambda i: F.concat_ws(" ", F.slice(sents, i + 1, span_sents))),
+    ).otherwise(F.array().cast("array<string>"))
+    norm = lambda s: F.trim(  # noqa: E731
+        F.regexp_replace(F.lower(s), "[^a-z0-9]+", " "))
+    sp = (docs.select("doc_id", F.posexplode(spans).alias("span_idx", "span"))
+          .select(F.col("doc_id").cast("long"),
+                  F.col("span_idx").cast("long"),
+                  F.md5(norm(F.col("span"))).alias("key")))
+    agg = sp.groupBy("key").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "span_idx")).alias("first"))
+    flagged = (sp.join(agg, "key")
+               .select("doc_id",
+                       (F.col("cnt") > 1).cast("int").alias("is_dup"),
+                       (~((F.col("cnt") == 1)
+                          | ((F.col("first.doc_id") == F.col("doc_id"))
+                             & (F.col("first.span_idx") == F.col("span_idx")))))
+                       .cast("int").alias("removed")))
+    rolled = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("is_dup").cast("long").alias("n_dup_spans"),
+        F.sum("removed").cast("long").alias("n_removed"))
+    base = docs.select(F.col("doc_id").cast("long"))
+    return (base.join(rolled, "doc_id", "left")
+            .select("doc_id",
+                    *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                      for c in ("n_spans", "n_dup_spans", "n_removed")]))

@@ -655,6 +655,13 @@ def dedup_dup_spans(spark, sf_dir):
     return dedup.dup_gram_stats(_docs(spark, sf_dir))
 
 
+def dedup_c4_spans(spark, sf_dir):
+    """C4 three-sentence-span dedup accounting (Raffel et al. 2020 §2.2):
+    per doc, sliding 3-sentence spans keyed by normalized md5, corpus-wide
+    counts, keep-first removal; see dedup.c4_span_stats for scale notes."""
+    return dedup.c4_span_stats(_docs(spark, sf_dir))
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF-Flat ANN: deterministic coarse cells + n_probe probing + exact
     in-cell cosine re-rank (Faiss IndexIVFFlat shape; see similarity.ivf_topk

@@ -167,3 +167,61 @@ def test_dup_gram_stats_random_vs_bruteforce(spark):
     got = {r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_frac_x1000)
            for r in dup_gram_stats(df).collect()}
     assert got == _dup_bruteforce(docs)
+
+
+# ---------------------------------------------------------------- c4 spans
+
+def _c4_bruteforce(docs):
+    """Pure-Python restatement of dedup.c4_span_stats semantics."""
+    import re
+    from collections import defaultdict
+
+    spans = {}  # (doc_id, idx) -> norm span key
+    for doc_id, text in docs:
+        sents = re.split(r"(?<=[.!?])\s+", text)
+        for i in range(len(sents) - 2):
+            norm = re.sub(r"[^a-z0-9]+", " ",
+                          " ".join(sents[i:i + 3]).lower()).strip()
+            spans[(doc_id, i)] = norm
+    by_key = defaultdict(list)
+    for occ, k in spans.items():
+        by_key[k].append(occ)
+    out = {d: [0, 0, 0] for d, _ in docs}  # n_spans, n_dup, n_removed
+    for (doc_id, i), k in spans.items():
+        occs = by_key[k]
+        out[doc_id][0] += 1
+        if len(occs) > 1:
+            out[doc_id][1] += 1
+            if (doc_id, i) != min(occs):
+                out[doc_id][2] += 1
+    return {d: tuple(v) for d, v in out.items()}
+
+
+def test_c4_spans_matches_bruteforce(spark, tmp_path):
+    """C4 3-sentence-span dedup vs a plain-Python restatement: cross-doc
+    duplicate paragraph (lower doc_id keeps), within-doc repetition,
+    punctuation-only normalization collisions, and short docs."""
+    import ocr_image_to_text_spark.queries as q
+
+    para = "First point here. Second point there. Third point too."
+    docs = [
+        (0, para + " And a tail sentence."),
+        (1, para),                                   # dup of doc 0's span 0
+        (2, "Too short. Only two."),                 # no spans
+        (3, ("Loop one. Loop two. Loop three. " * 2).strip()),  # in-doc dup
+        (4, "FIRST POINT, here! Second point; there? Third POINT too."),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, "en", "s", 0) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans, r.n_removed)
+           for r in q.dedup_c4_spans(spark, str(tmp_path)).collect()}
+
+    assert got == _c4_bruteforce(docs)
+    # the fixture must actually exercise each rule
+    assert got[2] == (0, 0, 0) and got[5] == (0, 0, 0)
+    assert got[0][1] >= 1 and got[0][2] == 0, "doc 0 keeps the shared span"
+    assert got[1][2] >= 1, "doc 1 loses the shared span"
+    assert got[3][2] >= 1, "within-doc repetition removes later occurrences"

@@ -132,6 +132,12 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # C4 span dedup: one Generate (3-sentence span explode), min(struct)
+    # keep-first aggregate (no window), flag-back equi-join, no self-join
+    ("dedup_c4_spans",
+     ["Generate", "HashAggregate|SortAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["Python", "CartesianProduct", "Window"]),
     # Gopher repetition signals: one Generate (the 9-width gram explode),
     # partial-agg combine before the gram shuffle, NO window over raw
     # grams (top-gram is a max(struct) aggregate), no self-join
