@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_c4_spans": q.dedup_c4_spans,
         "doc_length_histogram": q.doc_length_histogram,
         "corpus_sample_stratified": q.corpus_sample_stratified,
+        "corpus_dsir_weights": q.corpus_dsir_weights,
         "corpus_mix_budget": q.corpus_mix_budget,
         "corpus_curation_pipeline": q.corpus_curation_pipeline,
         "corpus_decontaminate": q.corpus_decontaminate,
@@ -1061,6 +1062,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(doc_id as bigint) doc_id, lang,
                    cast(strat_hash as bigint) strat_hash
             FROM h WHERE strat_hash < ({_sample_rate_case_sql()})""",
+        # DSIR importance weights: hashed unigram+bigram buckets (same
+        # md5-prefix hash), add-1 smoothed target/raw estimates, ln
+        # computed division-first in the identical order so doubles are
+        # correctly rounded the same way; one 1e6-grid round per BUCKET,
+        # integer sums per doc.
+        "corpus_dsir_weights": f"""
+            WITH w AS (SELECT doc_id, doc_id % 31 = 0 is_t,
+                              regexp_extract_all(lower(text), '\\w+') ws
+                       FROM documents),
+            g0 AS (SELECT doc_id, is_t,
+                          unnest(ws || list_transform(
+                            range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i+1])) gram
+                   FROM w),
+            b AS (SELECT doc_id, is_t,
+                         {_md5_prefix_int_sql("gram")} % 256 bucket
+                  FROM g0),
+            c AS (SELECT bucket,
+                         sum(CASE WHEN is_t THEN 1 ELSE 0 END) cnt_t,
+                         sum(CASE WHEN is_t THEN 0 ELSE 1 END) cnt_r
+                  FROM b GROUP BY bucket),
+            t AS (SELECT sum(cnt_t) n_t, sum(cnt_r) n_r FROM c),
+            lr AS (SELECT bucket,
+                          cast(floor(1000000.0 * ln(
+                            ((cnt_t + 1.0) / (n_t + 256))
+                            * ((n_r + 256) / (cnt_r + 1.0))) + 0.5)
+                            as bigint) lr_x1e6
+                   FROM c, t),
+            r AS (SELECT b.doc_id, cast(count(*) as bigint) n_grams,
+                         cast(sum(lr.lr_x1e6) as bigint) s
+                  FROM b JOIN lr USING (bucket)
+                  WHERE NOT b.is_t GROUP BY b.doc_id)
+            SELECT cast(d.doc_id as bigint) doc_id,
+                   cast(coalesce(r.n_grams, 0) as bigint) n_grams,
+                   cast(coalesce(r.s, 0) as bigint) dsir_logw_x1e6
+            FROM documents d LEFT JOIN r USING (doc_id)
+            WHERE d.doc_id % 31 <> 0""",
         # (every queries() entry now has an oracle twin: chunks_modern
         # reads the pyref golden parquet; ann_lsh_topk restates the
         # deterministic hyperplane signature in SQL.)

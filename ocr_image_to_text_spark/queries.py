@@ -751,6 +751,76 @@ def corpus_sample_stratified(spark, sf_dir):
             .filter(F.col("strat_hash") < rate))
 
 
+DSIR_BUCKETS = 256     # hashed n-gram feature buckets
+DSIR_TARGET_MOD = 31   # deterministic target-domain slice (doc_id % 31 == 0)
+
+
+def corpus_dsir_weights(spark, sf_dir, n_buckets: int = DSIR_BUCKETS):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    hashed unigram+bigram features, bag-of-buckets probability estimates
+    for a target-domain slice vs the raw pool (add-1 smoothing), and a
+    per-raw-doc log-likelihood-ratio importance weight — the score DSIR
+    resamples against. The target here is the deterministic
+    `doc_id % 31 == 0` slice (the benchmark-slice convention of
+    `corpus_decontaminate`); production swaps in a real target corpus
+    through the same two-sided count.
+
+    Determinism contract: the bucket hash is the md5-prefix integer
+    (same idiom as `corpus_sample_stratified`); each per-bucket
+    log-ratio is computed as ln(((cnt_t+1)/(N_t+B)) · ((N_r+B)/(cnt_r+1)))
+    — division-first, so every intermediate is a correctly-rounded
+    double at ANY corpus size (no >2^53 integer products) — rounded
+    once per BUCKET to floor(1e6·x + 0.5), then summed per doc in exact
+    integer arithmetic. The only cross-engine risk is a libm ln ulp
+    landing exactly on a 1e-6 grid boundary for one of the B buckets
+    (~1e-10·B); per-doc sums are integer-exact.
+
+    Scale: one gram explode → bucket-count aggregation whose key space
+    IS the feature table (B keys, map-side partials absorb the volume)
+    → tiny parameter table (B rows) broadcast back onto the gram
+    stream → one doc_id rollup. The DSIR "fit" phase never leaves the
+    cluster and the parameter table is KBs at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("doc_id") % DSIR_TARGET_MOD == 0).alias("is_t"),
+            F.explode(F.concat(words, bigrams)).alias("gram"))
+         .withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+            .cast("long") % n_buckets))
+    c = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("cnt_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cnt_r"))
+    totals = c.agg(F.sum("cnt_t").alias("n_t"), F.sum("cnt_r").alias("n_r"))
+    lr = (c.crossJoin(F.broadcast(totals))
+          .select("bucket",
+                  F.floor(F.lit(1000000.0) * F.log(
+                      ((F.col("cnt_t") + 1.0) / (F.col("n_t") + n_buckets))
+                      * ((F.col("n_r") + n_buckets) / (F.col("cnt_r") + 1.0)))
+                      + 0.5).cast("long").alias("lr_x1e6")))
+    rolled = (g.filter(~F.col("is_t"))
+              .join(F.broadcast(lr), "bucket")
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_grams"),
+                   F.sum("lr_x1e6").cast("long").alias("dsir_logw_x1e6")))
+    base = docs.filter(F.col("doc_id") % DSIR_TARGET_MOD != 0).select(
+        F.col("doc_id").cast("long"))
+    return (base.join(rolled, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce(F.col("dsir_logw_x1e6"), F.lit(0)).cast("long")
+                    .alias("dsir_logw_x1e6")))
+
+
 MIX_BUDGET_TOKENS = 800  # per-source token budget (uniform default)
 MIX_SHARDS = 8           # prefix-sum shards per source
 

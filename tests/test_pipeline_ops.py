@@ -319,3 +319,65 @@ def test_repetition_signals_matches_bruteforce(spark, tmp_path):
     # single occurrence of the longest 2-gram exceeds 20% of this short
     # doc — faithful Gopher behavior (the thresholds assume long docs)
     assert got[6]["dup5_frac_x1000"] == 0 and not got[6]["keep"]
+
+
+def test_dsir_weights_match_bruteforce(spark, tmp_path):
+    """DSIR importance weights vs a plain-Python restatement (hashlib
+    md5-prefix buckets, math.log division-first), on a corpus where
+    target-slice docs (doc_id % 31 == 0) share a vocabulary with some
+    raw docs and not others — the lookalikes must out-rank."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import ocr_image_to_text_spark.queries as q
+
+    target_text = "solar panels convert sunlight into clean energy today"
+    lookalike = "clean solar energy panels for sunlight conversion"
+    offtopic = "medieval castles defended feudal lords from siege warfare"
+    docs = [(0, target_text), (31, target_text + " and tomorrow"),
+            (1, lookalike), (2, offtopic), (3, lookalike + " again"),
+            (4, ""), (5, "sunlight")]
+    # a raw pool large enough that target vocabulary is RARE in it —
+    # the regime DSIR assumes (without it the lookalikes' own grams
+    # dominate cnt_r and the ratio inverts)
+    filler = ["harvest grain mills water wheels turn slowly",
+              "knights rode horses across muddy battle fields",
+              "monks copied manuscripts by candle light nightly"]
+    docs += [(100 + i, filler[i % 3] + f" variant {i}") for i in range(30)
+             if (100 + i) % 31 != 0]
+    df = spark.createDataFrame(
+        [(d, t, "en", "s", 0) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: (r.n_grams, r.dsir_logw_x1e6)
+           for r in q.corpus_dsir_weights(spark, str(tmp_path)).collect()}
+
+    B = 256
+
+    def bucket(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % B
+
+    ct, cr = Counter(), Counter()
+    grams_of = {}
+    for d, t in docs:
+        ws = re.findall(r"\w+", t.lower())
+        grams = ws + [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        grams_of[d] = grams
+        (ct if d % 31 == 0 else cr).update(bucket(g) for g in grams)
+    n_t, n_r = sum(ct.values()), sum(cr.values())
+    lr = {b: math.floor(1e6 * math.log(
+            ((ct[b] + 1.0) / (n_t + B)) * ((n_r + B) / (cr[b] + 1.0))) + 0.5)
+          for b in range(B)}
+    want = {d: (len(grams_of[d]), sum(lr[bucket(g)] for g in grams_of[d]))
+            for d, _ in docs if d % 31 != 0}
+    assert got == want
+    # ranking sanity (per-gram): target lookalikes must out-rank docs
+    # made of raw-common grams (cnt_t = 0, high cnt_r). Globally-rare
+    # off-topic docs score near the smoothing prior, so the robust
+    # comparison is against the raw-common filler, not doc 2.
+    assert got[1][1] / got[1][0] > got[100][1] / got[100][0]
+    assert got[3][1] / got[3][0] > got[101][1] / got[101][0]
+    assert 0 not in got and 31 not in got, "target slice is not scored"
+    assert got[4] == (0, 0)

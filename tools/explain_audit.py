@@ -132,6 +132,13 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # DSIR: gram explode → B-key bucket agg (the parameter table) →
+    # the table BROADCAST back onto the gram stream → doc rollup; a
+    # SortMergeJoin on bucket would shuffle the corpus gram stream
+    # against a 256-row table
+    ("corpus_dsir_weights",
+     ["Generate", "HashAggregate|SortAggregate", "BroadcastHashJoin"],
+     ["Python", "CartesianProduct"]),
     # C4 span dedup: one Generate (3-sentence span explode), min(struct)
     # keep-first aggregate (no window), flag-back equi-join, no self-join
     ("dedup_c4_spans",
