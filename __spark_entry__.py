@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline_v2": q.corpus_pipeline_v2,
         "doc_quality_gopher": q.doc_quality_gopher,
         "doc_repetition_signals": q.doc_repetition_signals,
+        "doc_c4_page_filter": q.doc_c4_page_filter,
         "corpus_top_tokens": q.corpus_top_tokens,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
@@ -783,6 +784,39 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_line_frac_x1000 <= 300
                     AND n_stopwords >= 2) keep
             FROM x""",
+        # C4 §2.2 line-level cleaning: the per-line predicate (terminal
+        # punctuation, ≥5 words, no "javascript") and page gate restated
+        # verbatim as list_filter lambdas.
+        "doc_c4_page_filter": r"""
+            WITH b AS (
+              SELECT doc_id, string_split(text, chr(10)) l,
+                     contains(lower(text), 'lorem ipsum') has_lorem,
+                     contains(text, '{') has_brace
+              FROM documents),
+            k AS (
+              SELECT doc_id, len(l) n_lines,
+                     list_filter(l, x ->
+                       regexp_matches(rtrim(x), '[.!?"]$')
+                       AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+                       AND NOT contains(lower(x), 'javascript')) kept,
+                     has_lorem, has_brace
+              FROM b),
+            c AS (
+              SELECT doc_id, n_lines, len(kept) n_kept_lines,
+                     -- DuckDB: array_to_string([]) is NULL, Spark
+                     -- concat_ws gives '' — coalesce to match
+                     coalesce(array_to_string(kept, chr(10)), '') clean_text,
+                     has_lorem, has_brace
+              FROM k)
+            SELECT cast(doc_id as bigint) doc_id,
+                   cast(n_lines as bigint) n_lines,
+                   cast(n_kept_lines as bigint) n_kept_lines,
+                   cast(len(regexp_extract_all(clean_text, '[.!?]'))
+                        as bigint) n_sentences,
+                   (len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+                    AND NOT has_lorem AND NOT has_brace) keep_doc,
+                   clean_text
+            FROM c""",
         # Gopher §A1.1 repetition signals: every gram width restated;
         # DuckDB's max(struct) uses the same (cnt, gram) binary ordering
         # as Spark's max(struct(cnt, gram)), so top-gram ties agree.

@@ -751,6 +751,51 @@ def corpus_sample_stratified(spark, sf_dir):
             .filter(F.col("strat_hash") < rate))
 
 
+C4_MIN_LINE_WORDS = 5  # C4 §2.2: retain lines with at least 5 words
+C4_MIN_SENTENCES = 3   # discard pages with fewer than 3 sentences
+
+
+def doc_c4_page_filter(spark, sf_dir):
+    """C4 line-level cleaning heuristics (Raffel et al. 2020 §2.2): keep
+    only lines that end in a terminal punctuation mark, contain ≥ 5
+    words, and do not mention "javascript"; drop pages with fewer than
+    3 sentences remaining, or containing "lorem ipsum" or a curly brace
+    (the code-page signal). Complements `doc_quality_gopher` /
+    `doc_repetition_signals` — this is the line-granular third of the
+    classic web-corpus gate.
+
+    Entirely JVM higher-order functions over the split lines array —
+    map-only, no shuffle, codegen; the per-line predicate and the page
+    gate are restated verbatim in the DuckDB twin. Output keeps the
+    cleaned text so downstream stages can consume it directly.
+
+    Scale: a pure projection — partition-count preserving, no exchange,
+    safe at any corpus size; the only cost is the line regexes."""
+    docs = _docs(spark, sf_dir)
+    lines = F.split(F.col("text"), "\n", -1)
+
+    def line_ok(line):
+        rl = F.rtrim(line)
+        words = F.size(F.split(F.trim(line), r"\s+"))
+        return (rl.rlike(r'[.!?"]$')
+                & (words >= C4_MIN_LINE_WORDS)
+                & ~F.contains(F.lower(line), F.lit("javascript")))
+
+    kept = F.filter(lines, line_ok)
+    clean = F.concat_ws("\n", kept)
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    keep_doc = ((n_sent >= C4_MIN_SENTENCES)
+                & ~F.contains(F.lower(F.col("text")), F.lit("lorem ipsum"))
+                & ~F.contains(F.col("text"), F.lit("{")))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        keep_doc.alias("keep_doc"),
+        clean.alias("clean_text"))
+
+
 DSIR_BUCKETS = 256     # hashed n-gram feature buckets
 DSIR_TARGET_MOD = 31   # deterministic target-domain slice (doc_id % 31 == 0)
 

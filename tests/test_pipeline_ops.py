@@ -381,3 +381,44 @@ def test_dsir_weights_match_bruteforce(spark, tmp_path):
     assert got[3][1] / got[3][0] > got[101][1] / got[101][0]
     assert 0 not in got and 31 not in got, "target slice is not scored"
     assert got[4] == (0, 0)
+
+
+def test_c4_page_filter_line_rules(spark, tmp_path):
+    """C4 §2.2 line rules on a controlled page: terminal punctuation,
+    the 5-word floor, the javascript line drop, and the three page-level
+    gates (sentence floor, lorem ipsum, curly brace)."""
+    import ocr_image_to_text_spark.queries as q
+
+    good = "This line has five good words."
+    page = "\n".join([
+        good,                                      # kept
+        "Ends well but short.",                    # <5 words -> dropped
+        "This one has no terminal punctuation",    # dropped
+        "Enable javascript to view this page.",    # javascript -> dropped
+        "Is this a fine question line?",           # kept
+        "He said \"it ends in a quote\"",          # kept (quote terminal)
+    ])
+    docs = [
+        (0, page, "en", "s", 0),
+        (1, f"{good} {good}\n{good}", "en", "s", 0),      # 3 sentences, keeps
+        (2, f"{good}\n{good}", "en", "s", 0),             # 2 sentences -> drop
+        (3, f"{good} {good}\n{good}\nLorem Ipsum filler", "en", "s", 0),
+        (4, good + " if (x) { return; }", "en", "s", 0),  # brace -> drop
+        (5, "", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in q.doc_c4_page_filter(spark, str(tmp_path)).collect()}
+
+    assert got[0].n_lines == 6 and got[0].n_kept_lines == 3
+    assert got[0].clean_text.split("\n") == [
+        good, "Is this a fine question line?", 'He said "it ends in a quote"']
+    # the quote-terminal line contributes no [.!?], so only 2 sentences
+    # remain and the page fails the 3-sentence floor
+    assert got[0].n_sentences == 2 and not got[0].keep_doc
+    assert got[1].keep_doc and got[1].n_sentences == 3
+    assert not got[2].keep_doc and got[2].n_sentences == 2
+    assert not got[3].keep_doc, "lorem ipsum drops the page"
+    assert not got[4].keep_doc, "curly brace drops the page"
+    assert got[5] .n_kept_lines == 0 and got[5].clean_text == ""

@@ -132,6 +132,10 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # C4 page filter: pure projection over line-array HOFs — no shuffle,
+    # no Python, no join, like the other map-only gates
+    ("doc_c4_page_filter", ["Project", "ReadSchema"],
+     ["hashpartitioning", "Python", "Join"]),
     # DSIR: gram explode → B-key bucket agg (the parameter table) →
     # the table BROADCAST back onto the gram stream → doc rollup; a
     # SortMergeJoin on bucket would shuffle the corpus gram stream
