@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_gopher": q.doc_quality_gopher,
         "doc_repetition_signals": q.doc_repetition_signals,
         "doc_c4_page_filter": q.doc_c4_page_filter,
+        "doc_c4_page_filter_seeded": q.doc_c4_page_filter_seeded,
         "corpus_top_tokens": q.corpus_top_tokens,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
@@ -184,6 +185,55 @@ def _md5_prefix_int_sql(expr: str, n_hex: int = 8) -> str:
         f" as bigint) * {16 ** (n_hex - 1 - i)}"
         for i in range(n_hex))
     return f"({terms})"
+
+
+def _c4_seeded_sql() -> str:
+    """DuckDB twin of doc_c4_page_filter_seeded: rebuilds the paged +
+    seeded text from the SAME queries.py seed constants (so the dialects
+    cannot drift), then applies the same line/page rules."""
+    from ocr_image_to_text_spark.queries import (
+        C4_SEED_BRACE, C4_SEED_JS, C4_SEED_LOREM)
+
+    seeds = (
+        f"CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{C4_SEED_JS}' "
+        f"ELSE '' END || "
+        f"CASE WHEN doc_id % 11 = 0 THEN chr(10) || '{C4_SEED_LOREM}' "
+        f"ELSE '' END || "
+        f"CASE WHEN doc_id % 13 = 0 THEN chr(10) || '{C4_SEED_BRACE}' "
+        f"ELSE '' END")
+    paged = (r"regexp_replace(text, '((?:\w+\s+){7}\w+)\s+', "
+             r"'\1.' || chr(10), 'g')")
+    return rf"""
+            WITH seeded AS (
+              SELECT doc_id, {paged} || {seeds} AS text
+              FROM documents),
+            b AS (
+              SELECT doc_id, string_split(text, chr(10)) l,
+                     contains(lower(text), 'lorem ipsum') has_lorem,
+                     contains(text, '{{') has_brace
+              FROM seeded),
+            k AS (
+              SELECT doc_id, len(l) n_lines,
+                     list_filter(l, x ->
+                       regexp_matches(rtrim(x), '[.!?"]$')
+                       AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+                       AND NOT contains(lower(x), 'javascript')) kept,
+                     has_lorem, has_brace
+              FROM b),
+            c AS (
+              SELECT doc_id, n_lines, len(kept) n_kept_lines,
+                     coalesce(array_to_string(kept, chr(10)), '') clean_text,
+                     has_lorem, has_brace
+              FROM k)
+            SELECT cast(doc_id as bigint) doc_id,
+                   cast(n_lines as bigint) n_lines,
+                   cast(n_kept_lines as bigint) n_kept_lines,
+                   cast(len(regexp_extract_all(clean_text, '[.!?]'))
+                        as bigint) n_sentences,
+                   (len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+                    AND NOT has_lorem AND NOT has_brace) keep_doc,
+                   clean_text
+            FROM c"""
 
 
 def _sample_rate_case_sql() -> str:
@@ -817,6 +867,11 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT has_lorem AND NOT has_brace) keep_doc,
                    clean_text
             FROM c""",
+        # Seeded C4 oracle: rebuild the identical paged text (8-word
+        # '.\n' sentences + per-doc_id seed lines from the SAME
+        # queries.py constants) then apply the same rules — certifies
+        # every rule's positive and negative path at driver level.
+        "doc_c4_page_filter_seeded": _c4_seeded_sql(),
         # Gopher §A1.1 repetition signals: every gram width restated;
         # DuckDB's max(struct) uses the same (cnt, gram) binary ordering
         # as Spark's max(struct(cnt, gram)), so top-gram ties agree.

@@ -771,7 +771,40 @@ def doc_c4_page_filter(spark, sf_dir):
 
     Scale: a pure projection — partition-count preserving, no exchange,
     safe at any corpus size; the only cost is the line regexes."""
+    return _c4_page_filter_over(_docs(spark, sf_dir))
+
+
+# Deterministic seeds for the driver-level C4 oracle: the synthetic
+# documents corpus is single-line and punctuation-free, so the plain
+# query's keep path is vacuous there (every rule still unit-tested on
+# fixtures). The seeded variant derives a paged corpus both engines
+# rebuild identically, exercising every rule with real keeps/drops.
+C4_SEED_JS = "Enable javascript to view this page now."
+C4_SEED_LOREM = "lorem ipsum dolor sit amet my friends."
+C4_SEED_BRACE = "if (x) { return x; }"
+
+
+def doc_c4_page_filter_seeded(spark, sf_dir):
+    """C4 §2.2 line rules over a deterministically paged derivation of
+    documents (8-word sentences terminated '.\\n', plus per-doc_id seeded
+    javascript / lorem-ipsum / brace lines), so the driver oracle row
+    certifies the positive AND negative path of every rule — the
+    non-vacuity pattern of `doc_entities_seeded`."""
     docs = _docs(spark, sf_dir)
+    paged = F.regexp_replace(
+        F.col("text"), r"((?:\w+\s+){7}\w+)\s+", "$1.\n")
+
+    def opt(mod: int, seed: str):
+        return (F.when(F.col("doc_id") % mod == 0, F.lit("\n" + seed))
+                .otherwise(F.lit("")))
+
+    seeded = F.concat(paged, opt(5, C4_SEED_JS), opt(11, C4_SEED_LOREM),
+                      opt(13, C4_SEED_BRACE))
+    return _c4_page_filter_over(
+        docs.select("doc_id", seeded.alias("text")))
+
+
+def _c4_page_filter_over(docs):
     lines = F.split(F.col("text"), "\n", -1)
 
     def line_ok(line):

@@ -136,6 +136,8 @@ AUDITS = [
     # no Python, no join, like the other map-only gates
     ("doc_c4_page_filter", ["Project", "ReadSchema"],
      ["hashpartitioning", "Python", "Join"]),
+    ("doc_c4_page_filter_seeded", ["Project", "ReadSchema"],
+     ["hashpartitioning", "Python", "Join"]),
     # DSIR: gram explode → B-key bucket agg (the parameter table) →
     # the table BROADCAST back onto the gram stream → doc rollup; a
     # SortMergeJoin on bucket would shuffle the corpus gram stream
