@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": q.corpus_decontaminate,
         "corpus_pack_sequences": q.corpus_pack_sequences,
         "corpus_pipeline_v2": q.corpus_pipeline_v2,
+        "corpus_pipeline_v3": q.corpus_pipeline_v3,
         "doc_quality_gopher": q.doc_quality_gopher,
         "doc_repetition_signals": q.doc_repetition_signals,
         "doc_c4_page_filter": q.doc_c4_page_filter,
@@ -187,10 +188,12 @@ def _md5_prefix_int_sql(expr: str, n_hex: int = 8) -> str:
     return f"({terms})"
 
 
-def _c4_seeded_sql() -> str:
-    """DuckDB twin of doc_c4_page_filter_seeded: rebuilds the paged +
-    seeded text from the SAME queries.py seed constants (so the dialects
-    cannot drift), then applies the same line/page rules."""
+def _c4_seeded_ctes() -> str:
+    """CTE fragment rebuilding the paged + seeded corpus and applying the
+    C4 line rules, ending in CTE `c` (doc_id, n_lines, n_kept_lines,
+    clean_text, has_lorem, has_brace). Seed constants come from
+    queries.py so the dialects cannot drift. Shared by the seeded C4
+    oracle and the corpus_pipeline_v3 twin."""
     from ocr_image_to_text_spark.queries import (
         C4_SEED_BRACE, C4_SEED_JS, C4_SEED_LOREM)
 
@@ -203,8 +206,7 @@ def _c4_seeded_sql() -> str:
         f"ELSE '' END")
     paged = (r"regexp_replace(text, '((?:\w+\s+){7}\w+)\s+', "
              r"'\1.' || chr(10), 'g')")
-    return rf"""
-            WITH seeded AS (
+    return rf"""seeded AS (
               SELECT doc_id, {paged} || {seeds} AS text
               FROM documents),
             b AS (
@@ -224,7 +226,13 @@ def _c4_seeded_sql() -> str:
               SELECT doc_id, n_lines, len(kept) n_kept_lines,
                      coalesce(array_to_string(kept, chr(10)), '') clean_text,
                      has_lorem, has_brace
-              FROM k)
+              FROM k)"""
+
+
+def _c4_seeded_sql() -> str:
+    """DuckDB twin of doc_c4_page_filter_seeded."""
+    return f"""
+            WITH {_c4_seeded_ctes()}
             SELECT cast(doc_id as bigint) doc_id,
                    cast(n_lines as bigint) n_lines,
                    cast(n_kept_lines as bigint) n_kept_lines,
@@ -234,6 +242,92 @@ def _c4_seeded_sql() -> str:
                     AND NOT has_lorem AND NOT has_brace) keep_doc,
                    clean_text
             FROM c"""
+
+
+def _pipeline_v3_sql(top_n: int = 100) -> str:
+    """DuckDB twin of corpus_pipeline_v3: C4 clean (shared fragment) →
+    Gopher gate on the cleaned text → exact dedup (min doc_id per md5) →
+    DSIR weights of the survivors vs the raw target slice → top-N."""
+    return rf"""
+            WITH {_c4_seeded_ctes()},
+            cleaned AS (
+              SELECT doc_id, clean_text AS text FROM c
+              WHERE len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+                AND NOT has_lorem AND NOT has_brace),
+            gm AS (
+              SELECT doc_id, text,
+                     cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END as bigint) n_words,
+                     cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          as bigint) alpha,
+                     cast(len(string_split(text, chr(10))) as bigint) nl,
+                     cast(len(string_split(text, chr(10)))
+                          - len(list_distinct(string_split(text, chr(10))))
+                          as bigint) ndl,
+                     cast(len(list_filter(
+                            ['the','a','and','of','to','is','in','that','it'],
+                            w -> list_contains(
+                              list_distinct(regexp_extract_all(lower(text), '\w+')),
+                              w))) as bigint) n_stop
+              FROM cleaned),
+            gated AS (
+              SELECT doc_id, text FROM gm
+              WHERE n_words >= 50
+                AND (CASE WHEN n_words = 0 THEN 0
+                     ELSE floor(1000.0 * alpha / n_words) END)
+                    BETWEEN 3000 AND 10000
+                AND floor(1000.0 * ndl / nl) <= 300
+                AND n_stop >= 2),
+            surv AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) rn
+                FROM gated)
+              WHERE rn = 1 AND doc_id % 31 <> 0),
+            gw AS (
+              SELECT doc_id, TRUE is_t,
+                     regexp_extract_all(lower(text), '\w+') ws
+              FROM documents WHERE doc_id % 31 = 0
+              UNION ALL
+              SELECT doc_id, FALSE,
+                     regexp_extract_all(lower(text), '\w+')
+              FROM surv),
+            g0 AS (SELECT doc_id, is_t,
+                          unnest(ws || list_transform(
+                            range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i+1])) gram
+                   FROM gw),
+            bkt AS (SELECT doc_id, is_t,
+                           {_md5_prefix_int_sql("gram")} % 256 bucket
+                    FROM g0),
+            cb AS (SELECT bucket,
+                          sum(CASE WHEN is_t THEN 1 ELSE 0 END) cnt_t,
+                          sum(CASE WHEN is_t THEN 0 ELSE 1 END) cnt_r
+                   FROM bkt GROUP BY bucket),
+            tt AS (SELECT sum(cnt_t) n_t, sum(cnt_r) n_r FROM cb),
+            lrt AS (SELECT bucket,
+                           cast(floor(1000000.0 * ln(
+                             ((cnt_t + 1.0) / (n_t + 256))
+                             * ((n_r + 256) / (cnt_r + 1.0))) + 0.5)
+                             as bigint) lr_x1e6
+                    FROM cb, tt),
+            rw AS (SELECT bkt.doc_id, cast(count(*) as bigint) n_grams,
+                          cast(sum(lrt.lr_x1e6) as bigint) s
+                   FROM bkt JOIN lrt USING (bucket)
+                   WHERE NOT bkt.is_t GROUP BY bkt.doc_id),
+            wts AS (SELECT s2.doc_id,
+                           cast(coalesce(rw.n_grams, 0) as bigint) n_grams,
+                           cast(coalesce(rw.s, 0) as bigint) dsir_logw_x1e6
+                    FROM surv s2 LEFT JOIN rw USING (doc_id)),
+            topd AS (SELECT *,
+                            row_number() OVER (ORDER BY dsir_logw_x1e6 DESC,
+                                               doc_id ASC) rnk
+                     FROM wts)
+            SELECT cast(rnk as bigint) AS "rank",
+                   cast(doc_id as bigint) doc_id, n_grams, dsir_logw_x1e6
+            FROM topd WHERE rnk <= {top_n}"""
 
 
 def _sample_rate_case_sql() -> str:
@@ -872,6 +966,10 @@ def oracle_sql() -> dict[str, str]:
         # queries.py constants) then apply the same rules — certifies
         # every rule's positive and negative path at driver level.
         "doc_c4_page_filter_seeded": _c4_seeded_sql(),
+        # RefinedWeb-shaped composition: C4 clean -> Gopher gate on the
+        # cleaned text -> exact dedup -> DSIR top-N; all four stages
+        # restated from the same shared fragments/constants.
+        "corpus_pipeline_v3": _pipeline_v3_sql(),
         # Gopher §A1.1 repetition signals: every gram width restated;
         # DuckDB's max(struct) uses the same (cnt, gram) binary ordering
         # as Spark's max(struct(cnt, gram)), so top-gram ties agree.

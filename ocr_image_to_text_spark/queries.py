@@ -790,7 +790,12 @@ def doc_c4_page_filter_seeded(spark, sf_dir):
     javascript / lorem-ipsum / brace lines), so the driver oracle row
     certifies the positive AND negative path of every rule — the
     non-vacuity pattern of `doc_entities_seeded`."""
-    docs = _docs(spark, sf_dir)
+    return _c4_page_filter_over(_c4_seeded_docs(_docs(spark, sf_dir)))
+
+
+def _c4_seeded_docs(docs):
+    """The deterministically paged+seeded derivation of documents shared
+    by the seeded C4 oracle and corpus_pipeline_v3."""
     paged = F.regexp_replace(
         F.col("text"), r"((?:\w+\s+){7}\w+)\s+", "$1.\n")
 
@@ -800,8 +805,7 @@ def doc_c4_page_filter_seeded(spark, sf_dir):
 
     seeded = F.concat(paged, opt(5, C4_SEED_JS), opt(11, C4_SEED_LOREM),
                       opt(13, C4_SEED_BRACE))
-    return _c4_page_filter_over(
-        docs.select("doc_id", seeded.alias("text")))
+    return docs.select("doc_id", seeded.alias("text"))
 
 
 def _c4_page_filter_over(docs):
@@ -827,6 +831,60 @@ def _c4_page_filter_over(docs):
         n_sent.cast("long").alias("n_sentences"),
         keep_doc.alias("keep_doc"),
         clean.alias("clean_text"))
+
+
+PIPELINE_V3_TOP_N = 100
+
+
+def corpus_pipeline_v3(spark, sf_dir, top_n: int = PIPELINE_V3_TOP_N):
+    """The modern web-corpus curation composition (RefinedWeb-shaped),
+    chained from this round's oracle-checked stages in ONE DAG:
+
+      1. C4 §2.2 line cleaning — over the deterministically paged
+         corpus (`_c4_seeded_docs`, the same derivation the seeded C4
+         oracle certifies), keeping pages that pass the page gates and
+         emitting their CLEANED text downstream;
+      2. Gopher quality gate — `_gopher_metrics` keep decision on the
+         cleaned text (not the raw page);
+      3. exact dedup — smallest doc_id per md5(cleaned text), one
+         (hash) shuffle;
+      4. DSIR selection — importance weights of the survivors against
+         the raw target slice (doc_id % 31 == 0, scored-out as in
+         `corpus_dsir_weights`), then the global top-`top_n` by weight
+         via TakeOrderedAndProject.
+
+    Scale: stages 1–2 are map-only projections; stage 3 shuffles once
+    on the content hash; stage 4 is the gram explode → 256-key agg →
+    broadcast parameter table → doc rollup → per-partition top-k merge.
+    No self-joins, no cartesians, no windows over unaggregated streams.
+    Output: (rank, doc_id, n_grams, dsir_logw_x1e6)."""
+    docs = _docs(spark, sf_dir)
+    cleaned = (_c4_page_filter_over(_c4_seeded_docs(docs))
+               .filter(F.col("keep_doc"))
+               .select("doc_id", F.col("clean_text").alias("text")))
+    m = _gopher_metrics(F.col("text"))
+    gated = cleaned.filter(m["keep"]).select("doc_id", "text")
+    dw = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+    surv = (gated.withColumn("rn", F.row_number().over(dw))
+            .filter(F.col("rn") == 1).drop("rn")
+            .filter(F.col("doc_id") % DSIR_TARGET_MOD != 0))
+    target = (docs.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+              .select("doc_id", "text"))
+    g = (_dsir_gram_buckets(target, F.lit(True))
+         .unionByName(_dsir_gram_buckets(surv, F.lit(False))))
+    weights = (surv.select(F.col("doc_id").cast("long"))
+               .join(_dsir_rollup(g), "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+                       .alias("n_grams"),
+                       F.coalesce(F.col("dsir_logw_x1e6"), F.lit(0))
+                       .cast("long").alias("dsir_logw_x1e6")))
+    order = [F.desc("dsir_logw_x1e6"), F.asc("doc_id")]
+    top = weights.orderBy(*order).limit(top_n)
+    return (top.withColumn(
+                "rank", F.row_number().over(Window.orderBy(*order))
+                .cast("long"))
+            .select("rank", "doc_id", "n_grams", "dsir_logw_x1e6"))
 
 
 DSIR_BUCKETS = 256     # hashed n-gram feature buckets
@@ -860,20 +918,39 @@ def corpus_dsir_weights(spark, sf_dir, n_buckets: int = DSIR_BUCKETS):
     stream → one doc_id rollup. The DSIR "fit" phase never leaves the
     cluster and the parameter table is KBs at any corpus size."""
     docs = _docs(spark, sf_dir)
+    g = _dsir_gram_buckets(
+        docs, F.col("doc_id") % DSIR_TARGET_MOD == 0, n_buckets)
+    rolled = _dsir_rollup(g, n_buckets)
+    base = docs.filter(F.col("doc_id") % DSIR_TARGET_MOD != 0).select(
+        F.col("doc_id").cast("long"))
+    return (base.join(rolled, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce(F.col("dsir_logw_x1e6"), F.lit(0)).cast("long")
+                    .alias("dsir_logw_x1e6")))
+
+
+def _dsir_gram_buckets(docs, is_t_col, n_buckets: int = DSIR_BUCKETS):
+    """(doc_id, is_t, gram, bucket) stream: hashed unigrams+bigrams."""
     words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
     bigrams = F.when(
         F.size(words) >= 2,
         F.transform(F.sequence(F.lit(0), F.size(words) - 2),
                     lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2))),
     ).otherwise(F.array().cast("array<string>"))
-    g = (docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            (F.col("doc_id") % DSIR_TARGET_MOD == 0).alias("is_t"),
-            F.explode(F.concat(words, bigrams)).alias("gram"))
-         .withColumn(
-            "bucket",
-            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
-            .cast("long") % n_buckets))
+    return (docs.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                is_t_col.alias("is_t"),
+                F.explode(F.concat(words, bigrams)).alias("gram"))
+            .withColumn(
+                "bucket",
+                F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+                .cast("long") % n_buckets))
+
+
+def _dsir_rollup(g, n_buckets: int = DSIR_BUCKETS):
+    """Bucket counts → broadcast log-ratio table → per-raw-doc sums."""
     c = g.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("cnt_t"),
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cnt_r"))
@@ -884,19 +961,11 @@ def corpus_dsir_weights(spark, sf_dir, n_buckets: int = DSIR_BUCKETS):
                       ((F.col("cnt_t") + 1.0) / (F.col("n_t") + n_buckets))
                       * ((F.col("n_r") + n_buckets) / (F.col("cnt_r") + 1.0)))
                       + 0.5).cast("long").alias("lr_x1e6")))
-    rolled = (g.filter(~F.col("is_t"))
-              .join(F.broadcast(lr), "bucket")
-              .groupBy("doc_id")
-              .agg(F.count("*").cast("long").alias("n_grams"),
-                   F.sum("lr_x1e6").cast("long").alias("dsir_logw_x1e6")))
-    base = docs.filter(F.col("doc_id") % DSIR_TARGET_MOD != 0).select(
-        F.col("doc_id").cast("long"))
-    return (base.join(rolled, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
-                    .alias("n_grams"),
-                    F.coalesce(F.col("dsir_logw_x1e6"), F.lit(0)).cast("long")
-                    .alias("dsir_logw_x1e6")))
+    return (g.filter(~F.col("is_t"))
+            .join(F.broadcast(lr), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum("lr_x1e6").cast("long").alias("dsir_logw_x1e6")))
 
 
 MIX_BUDGET_TOKENS = 800  # per-source token budget (uniform default)

@@ -422,3 +422,23 @@ def test_c4_page_filter_line_rules(spark, tmp_path):
     assert not got[3].keep_doc, "lorem ipsum drops the page"
     assert not got[4].keep_doc, "curly brace drops the page"
     assert got[5] .n_kept_lines == 0 and got[5].clean_text == ""
+
+
+def test_pipeline_v3_composition_invariants(spark):
+    """corpus_pipeline_v3 invariants on the sf0.001 corpus: contiguous
+    ranks, non-increasing weights with doc_id tie order, no target-slice
+    docs, and every selected doc survives the standalone C4+Gopher
+    gates (the composition can only narrow the standalone stages)."""
+    import ocr_image_to_text_spark.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.corpus_pipeline_v3(spark, sf).collect()
+    assert 0 < len(rows) <= q.PIPELINE_V3_TOP_N
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a.dsir_logw_x1e6, -a.doc_id) >= (b.dsir_logw_x1e6, -b.doc_id)
+    assert all(r.doc_id % q.DSIR_TARGET_MOD != 0 for r in rows)
+
+    c4_keep = {r.doc_id for r in
+               q.doc_c4_page_filter_seeded(spark, sf).collect() if r.keep_doc}
+    assert {r.doc_id for r in rows} <= c4_keep

@@ -132,6 +132,11 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # pipeline v3: map-only clean+gate stages, ONE md5 dedup window,
+    # DSIR broadcast parameter join, TakeOrdered top-k — no cartesian
+    ("corpus_pipeline_v3",
+     ["Generate", "Window", "BroadcastHashJoin", "TakeOrderedAndProject"],
+     ["CartesianProduct", "Python"]),
     # C4 page filter: pure projection over line-array HOFs — no shuffle,
     # no Python, no join, like the other map-only gates
     ("doc_c4_page_filter", ["Project", "ReadSchema"],
