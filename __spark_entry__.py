@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_page_filter": q.doc_c4_page_filter,
         "doc_c4_page_filter_seeded": q.doc_c4_page_filter_seeded,
         "corpus_top_tokens": q.corpus_top_tokens,
+        "corpus_vocab_hll": q.corpus_vocab_hll,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
         # --- multimodal (real BMP/PPM/WAV decode) ---
@@ -186,6 +187,59 @@ def _md5_prefix_int_sql(expr: str, n_hex: int = 8) -> str:
         f" as bigint) * {16 ** (n_hex - 1 - i)}"
         for i in range(n_hex))
     return f"({terms})"
+
+
+def _hex_int_sql(col: str, start: int, n: int) -> str:
+    """Integer value of `n` hex chars of an existing md5 column starting
+    at 1-based `start` (nibble polynomial, exact in double)."""
+    terms = " + ".join(
+        f"cast((strpos('0123456789abcdef', substr({col}, {start + i}, 1)) - 1)"
+        f" as bigint) * {16 ** (n - 1 - i)}"
+        for i in range(n))
+    return f"({terms})"
+
+
+def _vocab_hll_sql(m: int = 256) -> str:
+    """DuckDB twin of corpus_vocab_hll: same md5 register/rank split,
+    power-of-two register sum (order-independent exact), identical alpha
+    literal expression and estimator selection rule."""
+    return rf"""
+            WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\w+'))
+                              token
+                       FROM documents),
+            h AS (SELECT md5(token) h FROM t),
+            x AS (SELECT {_hex_int_sql("h", 1, 2)} reg,
+                         {_hex_int_sql("h", 3, 6)} v24
+                  FROM h),
+            r AS (SELECT reg,
+                         max(CASE WHEN v24 = 0 THEN 25
+                             ELSE 25 - length(bin(v24)) END) r_max
+                  FROM x GROUP BY reg),
+            a AS (SELECT g.reg, r.r_max
+                  FROM (SELECT unnest(range(0, {m})) reg) g
+                  LEFT JOIN r USING (reg)),
+            s AS (SELECT sum(CASE WHEN r_max IS NULL THEN 1.0
+                             ELSE power(2.0, -r_max) END) s,
+                         cast(sum(CASE WHEN r_max IS NULL THEN 1 ELSE 0 END)
+                              as bigint) n_zero
+                  FROM a),
+            e AS (SELECT cast(count(DISTINCT token) as bigint)
+                             exact_distinct
+                  FROM t)
+            SELECT cast({m} as bigint) m, s.n_zero n_zero_registers,
+                   cast(floor((0.7213 / (1.0 + 1.079 / {m}))
+                        * {m} * {m} / s.s * 1000000.0 + 0.5) as bigint)
+                       hll_raw_x1e6,
+                   cast(floor(CASE WHEN (0.7213 / (1.0 + 1.079 / {m}))
+                                        * {m} * {m} / s.s <= 2.5 * {m}
+                                   AND s.n_zero > 0
+                              THEN {m}.0 * ln({m}.0 / s.n_zero)
+                              ELSE (0.7213 / (1.0 + 1.079 / {m}))
+                                   * {m} * {m} / s.s
+                              END * 1000000.0 + 0.5) as bigint)
+                       hll_est_x1e6,
+                   e.exact_distinct
+            FROM s, e"""
 
 
 def _c4_seeded_ctes() -> str:
@@ -1249,6 +1303,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(doc_id as bigint) doc_id, lang,
                    cast(strat_hash as bigint) strat_hash
             FROM h WHERE strat_hash < ({_sample_rate_case_sql()})""",
+        # Deterministic HLL vocabulary sketch beside the exact count.
+        "corpus_vocab_hll": _vocab_hll_sql(),
         # DSIR importance weights: hashed unigram+bigram buckets (same
         # md5-prefix hash), add-1 smoothed target/raw estimates, ln
         # computed division-first in the identical order so doubles are

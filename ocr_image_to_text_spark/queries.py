@@ -833,6 +833,64 @@ def _c4_page_filter_over(docs):
         clean.alias("clean_text"))
 
 
+HLL_BUCKETS = 256  # 2^8 registers (b = 8)
+
+
+def corpus_vocab_hll(spark, sf_dir, m: int = HLL_BUCKETS):
+    """Deterministic HyperLogLog vocabulary-cardinality sketch (Flajolet
+    et al. 2007), beside the exact count: at 100 TB the exact distinct
+    needs a full token shuffle (`corpus_top_tokens`'s cost), while the
+    sketch is one map-side 256-register aggregate — this query runs both
+    so the driver oracle certifies the estimator AND its input registers.
+
+    Determinism contract: the hash is md5 (register = first 8 bits, rho
+    = leading-zero rank of the next 24 bits); the register sum is a sum
+    of powers of two ≥ 2^-25, exact in IEEE double in ANY order, so no
+    float-fold ambiguity; alpha_m is the standard 0.7213/(1+1.079/m)
+    computed with the identical literal expression in both engines; the
+    only transcendental is the small-range linear-counting ln, rounded
+    once to the 1e6 grid (same accepted ulp-boundary risk as
+    `corpus_dsir_weights`, ~1e-10).
+
+    Output (single row): (m, n_zero_registers, hll_raw_x1e6,
+    hll_est_x1e6, exact_distinct)."""
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
+    h = docs.select(tok.alias("token")).select(
+        "token", F.md5("token").alias("h"))
+    v24 = F.conv(F.substring("h", 3, 6), 16, 10).cast("long")
+    rho = (F.when(v24 == 0, F.lit(25))
+           .otherwise(25 - F.length(F.bin(v24)))).cast("int")
+    regs = (h.select(
+                F.conv(F.substring("h", 1, 2), 16, 10).cast("long")
+                .alias("reg"), rho.alias("rho"))
+            .groupBy("reg").agg(F.max("rho").alias("r_max")))
+    allregs = (spark.range(m).select(F.col("id").alias("reg"))
+               .join(regs, "reg", "left"))
+    contrib = F.when(F.col("r_max").isNull(), F.lit(1.0)).otherwise(
+        F.pow(F.lit(2.0), -F.col("r_max")))
+    zeros = F.sum(F.when(F.col("r_max").isNull(), 1).otherwise(0))
+    agg = allregs.agg(F.sum(contrib).alias("s"),
+                      zeros.cast("long").alias("n_zero"))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = F.lit(alpha) * m * m / F.col("s")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero"))
+    est = F.when((raw <= 2.5 * m) & (F.col("n_zero") > 0), linear) \
+           .otherwise(raw)
+    exact = (docs.select(tok.alias("token"))
+             .agg(F.countDistinct("token").cast("long")
+                  .alias("exact_distinct")))
+    return (agg.crossJoin(exact)
+            .select(F.lit(m).cast("long").alias("m"),
+                    F.col("n_zero").alias("n_zero_registers"),
+                    F.floor(raw * 1e6 + F.lit(0.5)).cast("long")
+                    .alias("hll_raw_x1e6"),
+                    F.floor(est * 1e6 + F.lit(0.5)).cast("long")
+                    .alias("hll_est_x1e6"),
+                    "exact_distinct"))
+
+
 PIPELINE_V3_TOP_N = 100
 
 

@@ -442,3 +442,31 @@ def test_pipeline_v3_composition_invariants(spark):
     c4_keep = {r.doc_id for r in
                q.doc_c4_page_filter_seeded(spark, sf).collect() if r.keep_doc}
     assert {r.doc_id for r in rows} <= c4_keep
+
+
+def test_vocab_hll_accuracy_both_ranges(spark, tmp_path):
+    """HLL estimator sanity on controlled vocabularies: the small-range
+    (linear-counting) and raw-estimator paths both land within 4 sigma
+    (sigma = 1.04/sqrt(256) = 6.5%) of the exact distinct count."""
+    import ocr_image_to_text_spark.queries as q
+
+    def run(n_vocab, sub):
+        texts = [" ".join(f"tok{j}" for j in range(i, min(i + 200, n_vocab)))
+                 for i in range(0, n_vocab, 200)]
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", 0) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long")
+        d = tmp_path / sub
+        d.mkdir()
+        df.write.parquet(str(d / "documents.parquet"))
+        row = q.corpus_vocab_hll(spark, str(d)).collect()[0]
+        assert row.exact_distinct == n_vocab
+        rel = row.hll_est_x1e6 / 1e6 / n_vocab
+        assert 0.74 <= rel <= 1.26, (n_vocab, row)
+        return row
+
+    small = run(120, "small")    # linear-counting path (zero registers)
+    big = run(8000, "big")       # raw HLL path (all registers hit)
+    assert small.n_zero_registers > 0
+    assert big.n_zero_registers == 0
+    assert big.hll_est_x1e6 == big.hll_raw_x1e6

@@ -132,6 +132,11 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # HLL sketch: token explode → 256-register max agg (map-side
+    # partials absorb the stream) + the exact-distinct twin agg; the
+    # register join is against a 256-row range — broadcast, no sort-merge
+    ("corpus_vocab_hll", ["Generate", "HashAggregate|SortAggregate"],
+     ["Python", "CartesianProduct", "SortMergeJoin"]),
     # pipeline v3: map-only clean+gate stages, ONE md5 dedup window,
     # DSIR broadcast parameter join, TakeOrdered top-k — no cartesian
     ("corpus_pipeline_v3",
