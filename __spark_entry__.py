@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_budget": q.corpus_mix_budget,
         "corpus_curation_pipeline": q.corpus_curation_pipeline,
         "corpus_decontaminate": q.corpus_decontaminate,
+        "corpus_decontaminate_bloom": q.corpus_decontaminate_bloom,
         "corpus_pack_sequences": q.corpus_pack_sequences,
         "corpus_pipeline_v2": q.corpus_pipeline_v2,
         "corpus_pipeline_v3": q.corpus_pipeline_v3,
@@ -197,6 +198,39 @@ def _hex_int_sql(col: str, start: int, n: int) -> str:
         f" as bigint) * {16 ** (n - 1 - i)}"
         for i in range(n))
     return f"({terms})"
+
+
+def _bloom_decontaminate_sql(m: int = 65536, k: int = 3) -> str:
+    """DuckDB twin of corpus_decontaminate_bloom: identical md5 position
+    hashes, distinct occupied-position build, all-k membership probe."""
+    ps = ", ".join(
+        _md5_prefix_int_sql(f"'{i}:' || shingle") + f" % {m}"
+        for i in range(k))
+    return rf"""
+            WITH w AS (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\s+') ws
+                       FROM documents),
+            shl AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        generate_series(1, greatest(len(ws) - 2, 1)),
+                        i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+                        shs
+                    FROM w),
+            sh AS (SELECT doc_id, unnest(shs) shingle FROM shl),
+            bp AS (SELECT DISTINCT pos FROM (
+                     SELECT unnest([{ps}]) pos
+                     FROM sh WHERE doc_id % 47 = 0)),
+            pr AS (SELECT doc_id, shingle, unnest([{ps}]) pos
+                   FROM sh WHERE doc_id % 47 <> 0),
+            pg AS (SELECT pr.doc_id, pr.shingle,
+                          min(CASE WHEN bp.pos IS NOT NULL THEN 1 ELSE 0
+                              END) all_hit
+                   FROM pr LEFT JOIN bp USING (pos)
+                   GROUP BY pr.doc_id, pr.shingle)
+            SELECT cast(doc_id as bigint) doc_id,
+                   cast(count(*) as bigint) n_grams,
+                   cast(sum(all_hit) as bigint) n_bloom_hit_grams
+            FROM pg GROUP BY doc_id"""
 
 
 def _vocab_hll_sql(m: int = 256) -> str:
@@ -1201,6 +1235,9 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct bench_id) as bigint) n_bench_docs
             FROM corp JOIN bench USING (gram)
             GROUP BY corp.doc_id""",
+        # Bloom-filter decontamination: the occupied-position set IS the
+        # bit array; same md5 position hashes, all-k membership per gram.
+        "corpus_decontaminate_bloom": _bloom_decontaminate_sql(),
         "corpus_curation_pipeline": f"""
             WITH scored AS (SELECT doc_id, text,
                 cast(floor((CASE WHEN length(text) = 0 THEN 0.0

@@ -833,6 +833,58 @@ def _c4_page_filter_over(docs):
         clean.alias("clean_text"))
 
 
+BLOOM_BITS = 65536  # m = 2^16 positions
+BLOOM_K = 3         # hash functions
+
+
+def corpus_decontaminate_bloom(spark, sf_dir, m: int = BLOOM_BITS,
+                               k: int = BLOOM_K):
+    """Bloom-filter test-set decontamination — the scale path for
+    `corpus_decontaminate` when the eval-gram index outgrows an exact
+    broadcast (Bloom 1970): benchmark grams are k-hashed into an m-bit
+    position set; a corpus gram is flagged iff ALL k positions are
+    occupied (supersets the exact hits by the documented FP rate
+    (1-e^(-kn/m))^k — per-doc counts here are an upper bound used for
+    routing to the exact check, never for silent dropping).
+
+    The filter is represented as the DISTINCT occupied-position table
+    (≤ min(m, k·n) rows — semantically THE bit array; a production
+    100 TB job packs it into an m-bit broadcast bitset, identical
+    semantics and FP behavior). Plan: build side is a tiny distinct
+    agg; probe side explodes each corpus gram into its k positions,
+    broadcast-joins the position set, and requires all k hits per gram
+    (min over the hit flag) — map-side throughout, then one doc_id
+    rollup. Deterministic md5 position hashes, restated in the twin.
+
+    Output: (doc_id, n_grams, n_bloom_hit_grams) for corpus docs."""
+    docs = _docs(spark, sf_dir)
+    grams = dedup.shingle_array()
+
+    def pos(gram_col, i: int):
+        return (F.conv(F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), gram_col)), 1, 8), 16, 10)
+                .cast("long") % m)
+
+    bench = (docs.filter(F.col("doc_id") % 47 == 0)
+             .select(F.explode(grams).alias("gram")))
+    bpos = (bench.select(F.explode(F.array(
+                *[pos(F.col("gram"), i) for i in range(k)])).alias("pos"))
+            .distinct().withColumn("occupied", F.lit(1)))
+    corp = (docs.filter(F.col("doc_id") % 47 != 0)
+            .select(F.col("doc_id").cast("long"), F.explode(grams).alias("gram")))
+    probes = corp.select(
+        "doc_id", "gram",
+        F.explode(F.array(*[pos(F.col("gram"), i) for i in range(k)]))
+        .alias("pos"))
+    per_gram = (probes.join(F.broadcast(bpos), "pos", "left")
+                .groupBy("doc_id", "gram")
+                .agg(F.min(F.coalesce(F.col("occupied"), F.lit(0)))
+                     .alias("all_hit")))
+    return (per_gram.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum("all_hit").cast("long").alias("n_bloom_hit_grams")))
+
+
 HLL_BUCKETS = 256  # 2^8 registers (b = 8)
 
 

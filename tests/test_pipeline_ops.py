@@ -470,3 +470,23 @@ def test_vocab_hll_accuracy_both_ranges(spark, tmp_path):
     assert small.n_zero_registers > 0
     assert big.n_zero_registers == 0
     assert big.hll_est_x1e6 == big.hll_raw_x1e6
+
+
+def test_bloom_decontaminate_supersets_exact(spark):
+    """Bloom membership can only over-approximate: per doc,
+    n_bloom_hit_grams >= the exact decontamination's n_shared_grams, and
+    with n_bench_grams << m the false-positive excess stays tiny."""
+    import ocr_image_to_text_spark.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    bloom = {r.doc_id: (r.n_grams, r.n_bloom_hit_grams)
+             for r in q.corpus_decontaminate_bloom(spark, sf).collect()}
+    exact = {r.doc_id: r.n_shared_grams
+             for r in q.corpus_decontaminate(spark, sf).collect()}
+
+    assert set(exact) <= set(bloom)
+    for d, n_shared in exact.items():
+        assert bloom[d][1] >= n_shared, d
+    total_grams = sum(g for g, _ in bloom.values())
+    excess = sum(h for _, h in bloom.values()) - sum(exact.values())
+    assert 0 <= excess <= max(5, 0.02 * total_grams), (excess, total_grams)

@@ -132,6 +132,12 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # Bloom decontamination: position set built by a distinct agg,
+    # probe side BROADCAST-joins it (SortMergeJoin would shuffle the
+    # k× corpus gram stream against a tiny position table)
+    ("corpus_decontaminate_bloom",
+     ["Generate", "BroadcastHashJoin", "HashAggregate|SortAggregate"],
+     ["Python", "CartesianProduct", "SortMergeJoin"]),
     # HLL sketch: token explode → 256-register max agg (map-side
     # partials absorb the stream) + the exact-distinct twin agg; the
     # register join is against a 256-row range — broadcast, no sort-merge
