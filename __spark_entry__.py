@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_page_filter_seeded": q.doc_c4_page_filter_seeded,
         "corpus_top_tokens": q.corpus_top_tokens,
         "corpus_vocab_hll": q.corpus_vocab_hll,
+        "doc_tfidf_topk": q.doc_tfidf_topk,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
         # --- multimodal (real BMP/PPM/WAV decode) ---
@@ -1342,6 +1343,34 @@ def oracle_sql() -> dict[str, str]:
             FROM h WHERE strat_hash < ({_sample_rate_case_sql()})""",
         # Deterministic HLL vocabulary sketch beside the exact count.
         "corpus_vocab_hll": _vocab_hll_sql(),
+        # Corpus TF-IDF top-k: idf rounded once per token to the 1e6
+        # grid, per-doc scores integer-exact, token-asc tie order.
+        "doc_tfidf_topk": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text), '\w+'))
+                                  token
+                       FROM documents),
+            tf AS (SELECT cast(doc_id as bigint) doc_id, token,
+                          cast(count(*) as bigint) tf
+                   FROM t GROUP BY doc_id, token),
+            nd AS (SELECT cast(count(*) as bigint) n FROM documents),
+            idf AS (SELECT token,
+                           cast(floor(1000000.0 * ln(nd.n / cast(df as
+                                bigint)) + 0.5) as bigint) idf_x1e6
+                    FROM (SELECT token,
+                                 count(DISTINCT doc_id) df
+                          FROM tf GROUP BY token), nd),
+            sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+                          cast(tf.tf * idf.idf_x1e6 as bigint) tfidf_x1e6
+                   FROM tf JOIN idf USING (token)),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf_x1e6 DESC,
+                                                     token ASC) rnk
+                  FROM sc)
+            SELECT doc_id, cast(rnk as bigint) AS "rank", token, tf,
+                   tfidf_x1e6
+            FROM r WHERE rnk <= 5""",
         # DSIR importance weights: hashed unigram+bigram buckets (same
         # md5-prefix hash), add-1 smoothed target/raw estimates, ln
         # computed division-first in the identical order so doubles are

@@ -833,6 +833,51 @@ def _c4_page_filter_over(docs):
         clean.alias("clean_text"))
 
 
+TFIDF_TOP_K = 5
+
+
+def doc_tfidf_topk(spark, sf_dir, k: int = TFIDF_TOP_K):
+    """Corpus TF-IDF keyword extraction: top-k terms per document by
+    tf·idf — the corpus-statistics counterpart of the reference's
+    fixed-query keyword scores (X5/X6 rank documents against given
+    words; this ranks each document's own vocabulary against the
+    corpus). idf = ln(N/df) over distinct-doc frequency, rounded once
+    per TOKEN to the 1e6 grid (the DSIR ln convention), so per-doc
+    scores tf·idf_x1e6 are integer-exact products; ties break on token
+    ascending.
+
+    Scale: token explode → (doc, token) tf aggregation [shuffle 1,
+    map-side partials] → token df aggregation [shuffle 2, partials] →
+    idf table joined back (broadcast here — the scored vocabulary of a
+    real corpus can instead flow through a shuffled join; either way no
+    self-join) → per-doc top-k window on the doc-partitioned tf rows.
+
+    Output: (doc_id, rank, token, tf, tfidf_x1e6)."""
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
+    tf = (docs.select(F.col("doc_id").cast("long"), tok.alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count("*").cast("long").alias("tf")))
+    n_docs = docs.agg(F.count("*").cast("long").alias("n"))
+    idf = (tf.groupBy("token")
+           .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+           .crossJoin(F.broadcast(n_docs))
+           .select("token",
+                   F.floor(F.lit(1000000.0)
+                           * F.log(F.col("n") / F.col("df")) + 0.5)
+                   .cast("long").alias("idf_x1e6")))
+    scored = (tf.join(F.broadcast(idf), "token")
+              .select("doc_id", "token", "tf",
+                      (F.col("tf") * F.col("idf_x1e6")).cast("long")
+                      .alias("tfidf_x1e6")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_x1e6"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "token", "tf", "tfidf_x1e6"))
+
+
 BLOOM_BITS = 65536  # m = 2^16 positions
 BLOOM_K = 3         # hash functions
 

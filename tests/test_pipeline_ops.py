@@ -490,3 +490,42 @@ def test_bloom_decontaminate_supersets_exact(spark):
     total_grams = sum(g for g, _ in bloom.values())
     excess = sum(h for _, h in bloom.values()) - sum(exact.values())
     assert 0 <= excess <= max(5, 0.02 * total_grams), (excess, total_grams)
+
+
+def test_tfidf_matches_bruteforce(spark, tmp_path):
+    """TF-IDF top-k vs a plain-Python restatement on a corpus with a
+    ubiquitous term (idf = ln(1) = 0 — never ranks above rarer terms),
+    repeated terms (tf weighting) and token-asc tie order."""
+    import math
+    import re
+    from collections import Counter
+
+    import ocr_image_to_text_spark.queries as q
+
+    docs = [
+        (0, "common apple apple banana"),
+        (1, "common banana cherry cherry cherry"),
+        (2, "common apple date"),
+        (3, "common common common elephant"),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, "en", "s", 0) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.doc_id, r.rank): (r.token, r.tf, r.tfidf_x1e6)
+           for r in q.doc_tfidf_topk(spark, str(tmp_path)).collect()}
+
+    tfs = {d: Counter(re.findall(r"\w+", t.lower())) for d, t in docs}
+    dfreq = Counter(tok for c in tfs.values() for tok in c)
+    n = len(docs)
+    idf = {tok: math.floor(1e6 * math.log(n / df_) + 0.5)
+           for tok, df_ in dfreq.items()}
+    want = {}
+    for d, c in tfs.items():
+        ranked = sorted(((tok, tf, tf * idf[tok]) for tok, tf in c.items()),
+                        key=lambda x: (-x[2], x[0]))[:5]
+        for i, row in enumerate(ranked, 1):
+            want[(d, i)] = row
+    assert got == want
+    # the ubiquitous term has idf 0: never above any rarer term
+    assert got[(0, 1)][0] == "apple" and got[(3, 1)][0] == "elephant"

@@ -132,6 +132,12 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # TF-IDF: two partial-agg shuffles (tf, df) + broadcast idf join +
+    # per-doc top-k window — no self-join, no cartesian
+    ("doc_tfidf_topk",
+     ["Generate", "HashAggregate|SortAggregate", "BroadcastHashJoin",
+      "Window"],
+     ["Python", "CartesianProduct"]),
     # Bloom decontamination: position set built by a distinct agg,
     # probe side BROADCAST-joins it (SortMergeJoin would shuffle the
     # k× corpus gram stream against a tiny position table)
