@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_tokens": q.corpus_top_tokens,
         "corpus_vocab_hll": q.corpus_vocab_hll,
         "doc_tfidf_topk": q.doc_tfidf_topk,
+        "doc_unigram_logprob": q.doc_unigram_logprob,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
         # --- multimodal (real BMP/PPM/WAV decode) ---
@@ -1371,6 +1372,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(rnk as bigint) AS "rank", token, tf,
                    tfidf_x1e6
             FROM r WHERE rnk <= 5""",
+        # CCNet-style unigram log-prob: ln p rounded once per token,
+        # per-doc integer sums, exact-integer floored mean.
+        "doc_unigram_logprob": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text), '\w+'))
+                                  token
+                       FROM documents),
+            tf AS (SELECT cast(doc_id as bigint) doc_id, token,
+                          cast(count(*) as bigint) tf
+                   FROM t GROUP BY doc_id, token),
+            c AS (SELECT token, cast(sum(tf) as bigint) cnt
+                  FROM tf GROUP BY token),
+            tot AS (SELECT cast(sum(cnt) as bigint) n_total FROM c),
+            lp AS (SELECT token,
+                          cast(floor(1000000.0 * ln(cnt / tot.n_total)
+                               + 0.5) as bigint) logp_x1e6
+                   FROM c, tot),
+            r AS (SELECT tf.doc_id,
+                         cast(sum(tf.tf) as bigint) n_tokens,
+                         cast(sum(tf.tf * lp.logp_x1e6) as bigint)
+                             sum_logp_x1e6
+                  FROM tf JOIN lp USING (token)
+                  GROUP BY tf.doc_id)
+            SELECT cast(d.doc_id as bigint) doc_id,
+                   cast(coalesce(r.n_tokens, 0) as bigint) n_tokens,
+                   cast(coalesce(r.sum_logp_x1e6, 0) as bigint)
+                       sum_logp_x1e6,
+                   cast(CASE WHEN coalesce(r.n_tokens, 0) = 0 THEN 0
+                        ELSE floor(r.sum_logp_x1e6 / r.n_tokens) END
+                        as bigint) mean_logp_x1e6
+            FROM documents d LEFT JOIN r USING (doc_id)""",
         # DSIR importance weights: hashed unigram+bigram buckets (same
         # md5-prefix hash), add-1 smoothed target/raw estimates, ln
         # computed division-first in the identical order so doubles are

@@ -833,6 +833,54 @@ def _c4_page_filter_over(docs):
         clean.alias("clean_text"))
 
 
+def doc_unigram_logprob(spark, sf_dir):
+    """CCNet-style perplexity filtering signal (Wenzek et al. 2020
+    "CCNet: Extracting High Quality Monolingual Datasets"), with the
+    corpus unigram LM standing in for KenLM (the container has no LM;
+    the filter SHAPE — score every doc by mean token log-probability,
+    route head/middle/tail — is what matters and is identical): per
+    doc, the sum and mean of ln p(token) where p = corpus count /
+    total. Each token's ln p is rounded once to the 1e6 grid (vocab-
+    bounded transcendental, the DSIR convention), so per-doc sums are
+    integer-exact; the mean divides two exact integers (< 2^53) and
+    floors — bit-identical in both engines.
+
+    Scale: token explode → (doc, token) tf agg [shuffle 1, partials] →
+    corpus count agg [shuffle 2, vocab keys] → broadcast logp table
+    back onto the tf rows → doc rollup. Same no-self-join shape as
+    `doc_tfidf_topk`. Output: (doc_id, n_tokens, sum_logp_x1e6,
+    mean_logp_x1e6) — more negative = rarer vocabulary (CCNet tail)."""
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
+    tf = (docs.select(F.col("doc_id").cast("long"), tok.alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count("*").cast("long").alias("tf")))
+    counts = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("n_total"))
+    logp = (counts.crossJoin(F.broadcast(total))
+            .select("token",
+                    F.floor(F.lit(1000000.0)
+                            * F.log(F.col("cnt") / F.col("n_total")) + 0.5)
+                    .cast("long").alias("logp_x1e6")))
+    rolled = (tf.join(F.broadcast(logp), "token")
+              .groupBy("doc_id")
+              .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                   F.sum(F.col("tf") * F.col("logp_x1e6")).cast("long")
+                   .alias("sum_logp_x1e6")))
+    base = docs.select(F.col("doc_id").cast("long"))
+    out = base.join(rolled, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+        .alias("n_tokens"),
+        F.coalesce(F.col("sum_logp_x1e6"), F.lit(0)).cast("long")
+        .alias("sum_logp_x1e6"),
+        F.when(F.coalesce(F.col("n_tokens"), F.lit(0)) == 0, F.lit(0))
+        .otherwise(F.floor(F.col("sum_logp_x1e6") / F.col("n_tokens")))
+        .cast("long").alias("mean_logp_x1e6"))
+
+
 TFIDF_TOP_K = 5
 
 

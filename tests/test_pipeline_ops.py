@@ -529,3 +529,40 @@ def test_tfidf_matches_bruteforce(spark, tmp_path):
     assert got == want
     # the ubiquitous term has idf 0: never above any rarer term
     assert got[(0, 1)][0] == "apple" and got[(3, 1)][0] == "elephant"
+
+
+def test_unigram_logprob_matches_bruteforce(spark, tmp_path):
+    """Unigram log-prob signal vs a plain-Python restatement: a doc of
+    corpus-common tokens must score HIGHER (less negative mean) than a
+    doc of hapaxes (the CCNet head/tail ordering), empty docs are 0."""
+    import math
+    import re
+    from collections import Counter
+
+    import ocr_image_to_text_spark.queries as q
+
+    docs = [
+        (0, "common common common words words here"),
+        (1, "common words " * 10),
+        (2, "zyx qwv unique hapax tokens"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, "en", "s", 0) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: (r.n_tokens, r.sum_logp_x1e6, r.mean_logp_x1e6)
+           for r in q.doc_unigram_logprob(spark, str(tmp_path)).collect()}
+
+    toks = {d: re.findall(r"\w+", t.lower()) for d, t in docs}
+    cnt = Counter(tok for ts in toks.values() for tok in ts)
+    total = sum(cnt.values())
+    lp = {tok: math.floor(1e6 * math.log(c / total) + 0.5)
+          for tok, c in cnt.items()}
+    want = {}
+    for d, ts in toks.items():
+        s = sum(lp[tok] for tok in ts)
+        want[d] = (len(ts), s, math.floor(s / len(ts)) if ts else 0)
+    assert got == want
+    assert got[1][2] > got[2][2], "common-vocab doc scores above hapax doc"
+    assert got[3] == (0, 0, 0)

@@ -132,6 +132,10 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # unigram log-prob: same tf/df/broadcast shape as TF-IDF
+    ("doc_unigram_logprob",
+     ["Generate", "HashAggregate|SortAggregate", "BroadcastHashJoin"],
+     ["Python", "CartesianProduct"]),
     # TF-IDF: two partial-agg shuffles (tf, df) + broadcast idf join +
     # per-doc top-k window — no self-join, no cartesian
     ("doc_tfidf_topk",
