@@ -1358,8 +1358,7 @@ def oracle_sql() -> dict[str, str]:
             idf AS (SELECT token,
                            cast(floor(1000000.0 * ln(nd.n / cast(df as
                                 bigint)) + 0.5) as bigint) idf_x1e6
-                    FROM (SELECT token,
-                                 count(DISTINCT doc_id) df
+                    FROM (SELECT token, count(*) df
                           FROM tf GROUP BY token), nd),
             sc AS (SELECT tf.doc_id, tf.token, tf.tf,
                           cast(tf.tf * idf.idf_x1e6 as bigint) tfidf_x1e6

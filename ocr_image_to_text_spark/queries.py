@@ -908,8 +908,10 @@ def doc_tfidf_topk(spark, sf_dir, k: int = TFIDF_TOP_K):
           .groupBy("doc_id", "token")
           .agg(F.count("*").cast("long").alias("tf")))
     n_docs = docs.agg(F.count("*").cast("long").alias("n"))
+    # tf rows are unique per (doc, token), so df = count(*) — no
+    # distinct aggregation needed
     idf = (tf.groupBy("token")
-           .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+           .agg(F.count("*").cast("long").alias("df"))
            .crossJoin(F.broadcast(n_docs))
            .select("token",
                    F.floor(F.lit(1000000.0)
