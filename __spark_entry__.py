@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_hll": q.corpus_vocab_hll,
         "doc_tfidf_topk": q.doc_tfidf_topk,
         "doc_unigram_logprob": q.doc_unigram_logprob,
+        "doc_bm25_topk": q.doc_bm25_topk,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
         # --- multimodal (real BMP/PPM/WAV decode) ---
@@ -472,7 +473,8 @@ def oracle_sql() -> dict[str, str]:
     from ocr_image_to_text_spark.operators.fingerprint import (
         fingerprint_sql_duckdb as _fingerprint_sql,
     )
-    from ocr_image_to_text_spark.queries import CHUNK_RETRIEVAL_QUERY
+    from ocr_image_to_text_spark.queries import (
+        CHUNK_RETRIEVAL_QUERY, KEYWORD_QUERY_WORDS)
     from ocr_image_to_text_spark.similarity import (
         chunk_cosine_sql_duckdb,
         chunk_l2_sql_duckdb,
@@ -1371,6 +1373,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(rnk as bigint) AS "rank", token, tf,
                    tfidf_x1e6
             FROM r WHERE rnk <= 5""",
+        # BM25 over the X5 query words: idf rounded once per term, all
+        # other factors identical-order IEEE division/multiplication.
+        "doc_bm25_topk": f"""
+            WITH base AS (
+              SELECT cast(doc_id as bigint) doc_id,
+                     cast(len(regexp_extract_all(lower(text), '\\w+'))
+                          as bigint) dl,
+                     unnest(regexp_extract_all(lower(text), '\\w+')) token
+              FROM documents),
+            f AS (SELECT * FROM base
+                  WHERE token IN {tuple(sorted(set(KEYWORD_QUERY_WORDS)))}),
+            tf AS (SELECT doc_id, dl, token,
+                          cast(count(*) as bigint) tf
+                   FROM f GROUP BY doc_id, dl, token),
+            dfq AS (SELECT token, cast(count(*) as bigint) df
+                    FROM tf GROUP BY token),
+            st AS (SELECT cast(count(*) as bigint) n_docs,
+                          cast(sum(len(regexp_extract_all(lower(text),
+                               '\\w+'))) as bigint) sum_dl
+                   FROM documents),
+            idf AS (SELECT token,
+                           cast(floor(1000000.0 * ln(
+                             (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)
+                             + 1.0) + 0.5) as bigint) idf_x1e6,
+                           st.sum_dl / st.n_docs avgdl
+                    FROM dfq, st),
+            sc AS (SELECT tf.doc_id,
+                          cast(sum(cast(floor(
+                            idf.idf_x1e6 * (tf.tf * {1.2 + 1.0})
+                            / (tf.tf + 1.2 * (1.0 - 0.75
+                               + 0.75 * tf.dl / idf.avgdl))
+                            + 0.5) as bigint)) as bigint) bm25_x1e6
+                   FROM tf JOIN idf USING (token)
+                   GROUP BY tf.doc_id),
+            r AS (SELECT *, row_number() OVER (ORDER BY bm25_x1e6 DESC,
+                                               doc_id ASC) rnk
+                  FROM sc)
+            SELECT cast(rnk as bigint) AS "rank", doc_id, bm25_x1e6
+            FROM r WHERE rnk <= 20""",
         # CCNet-style unigram log-prob: ln p rounded once per token,
         # per-doc integer sums, exact-integer floored mean.
         "doc_unigram_logprob": r"""

@@ -833,6 +833,66 @@ def _c4_page_filter_over(docs):
         clean.alias("clean_text"))
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def doc_bm25_topk(spark, sf_dir, k: int = BM25_TOP_K):
+    """BM25 ranked retrieval (Robertson/Lucene idf variant) for the X5
+    query words — the corpus-statistics upgrade of the reference's flat
+    keyword counts: tf saturation (k1=1.2), length normalization
+    (b=0.75 against the corpus average length), and rarity weighting
+    ln((N-df+0.5)/(df+0.5)+1).
+
+    Determinism: idf is rounded once per TERM to the 1e6 grid (the DSIR
+    ln convention); every other factor is division/multiplication in an
+    identical evaluation order in both engines (correctly-rounded IEEE,
+    no transcendental), each per-doc-term product rounded once, then
+    integer sums. Docs containing no query term score nothing and are
+    absent, matching the twin.
+
+    Scale: the token stream is FILTERED to the query vocabulary before
+    any aggregation (predicate on the exploded stream — the shuffled
+    volume is |query terms| × docs, not the corpus token count); df
+    reuses the unique (doc, term) rows; the 5-row idf/stats table
+    broadcasts; top-k is TakeOrderedAndProject.
+    Output: (rank, doc_id, bm25_x1e6)."""
+    docs = _docs(spark, sf_dir)
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
+    base = (docs.select(F.col("doc_id").cast("long"),
+                        F.size(words).cast("long").alias("dl"),
+                        F.explode(words).alias("token"))
+            .filter(F.col("token").isin(KEYWORD_QUERY_WORDS)))
+    tf = (base.groupBy("doc_id", "dl", "token")
+          .agg(F.count("*").cast("long").alias("tf")))
+    dfq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    stats = docs.agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum(F.size(words)).cast("long").alias("sum_dl"))
+    idf = (dfq.crossJoin(F.broadcast(stats))
+           .select("token",
+                   F.floor(F.lit(1000000.0) * F.log(
+                       (F.col("n_docs") - F.col("df") + 0.5)
+                       / (F.col("df") + 0.5) + 1.0) + 0.5)
+                   .cast("long").alias("idf_x1e6"),
+                   (F.col("sum_dl") / F.col("n_docs")).alias("avgdl")))
+    term = F.floor(
+        F.col("idf_x1e6") * (F.col("tf") * (BM25_K1 + 1.0))
+        / (F.col("tf") + BM25_K1
+           * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        + 0.5).cast("long")
+    scored = (tf.join(F.broadcast(idf), "token")
+              .select("doc_id", term.alias("term_x1e6"))
+              .groupBy("doc_id")
+              .agg(F.sum("term_x1e6").cast("long").alias("bm25_x1e6")))
+    order = [F.desc("bm25_x1e6"), F.asc("doc_id")]
+    top = scored.orderBy(*order).limit(k)
+    return (top.withColumn("rank",
+                           F.row_number().over(Window.orderBy(*order))
+                           .cast("long"))
+            .select("rank", "doc_id", "bm25_x1e6"))
+
+
 def doc_unigram_logprob(spark, sf_dir):
     """CCNet-style perplexity filtering signal (Wenzek et al. 2020
     "CCNet: Extracting High Quality Monolingual Datasets"), with the

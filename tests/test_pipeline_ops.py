@@ -566,3 +566,56 @@ def test_unigram_logprob_matches_bruteforce(spark, tmp_path):
     assert got == want
     assert got[1][2] > got[2][2], "common-vocab doc scores above hapax doc"
     assert got[3] == (0, 0, 0)
+
+
+def test_bm25_matches_bruteforce(spark, tmp_path):
+    """BM25 top-k vs a plain-Python restatement: tf saturation (20
+    repeats beat 2 repeats by far less than 10x), length normalization
+    (same tf, shorter doc ranks higher), rarity weighting."""
+    import math
+    import re
+    from collections import Counter
+
+    import ocr_image_to_text_spark.queries as q
+
+    filler = "lorem filler words only "
+    docs = [
+        (0, "spark " * 2 + filler * 5),
+        (1, "spark " * 20 + filler * 5),        # saturated tf
+        (2, "spark " + filler * 2),             # short doc, tf=1
+        (3, "spark " + filler * 30),            # long doc, tf=1
+        (4, "data engine quality " + filler),   # multi-term
+        (5, filler * 3),                        # no query terms
+    ]
+    df = spark.createDataFrame(
+        [(d, t.strip(), "en", "s", 0) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: (r.rank, r.bm25_x1e6)
+           for r in q.doc_bm25_topk(spark, str(tmp_path)).collect()}
+
+    qw = set(q.KEYWORD_QUERY_WORDS)
+    toks = {d: re.findall(r"\w+", t.strip().lower()) for d, t in docs}
+    n = len(docs)
+    sum_dl = sum(len(ts) for ts in toks.values())
+    avgdl = sum_dl / n
+    dfreq = Counter(tok for ts in toks.values() for tok in set(ts) & qw)
+    idf = {t: math.floor(1e6 * math.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
+                         + 0.5) for t, df_ in dfreq.items()}
+    scores = {}
+    for d, ts in toks.items():
+        c = Counter(t for t in ts if t in qw)
+        if not c:
+            continue
+        s = 0
+        for t, tf in c.items():
+            s += math.floor(idf[t] * (tf * (q.BM25_K1 + 1.0))
+                            / (tf + q.BM25_K1 * (1.0 - q.BM25_B
+                               + q.BM25_B * len(ts) / avgdl)) + 0.5)
+        scores[d] = s
+    ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    want = {d: (i, s) for i, (d, s) in enumerate(ranked, 1)}
+    assert got == want
+    assert 5 not in got, "no-query-term doc is absent"
+    assert got[1][1] < 10 * got[0][1], "tf saturates"
+    assert got[2][1] > got[3][1], "shorter doc ranks higher at equal tf"

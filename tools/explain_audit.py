@@ -132,6 +132,13 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # BM25: query-vocab filter BEFORE aggregation, broadcast idf,
+    # TakeOrdered top-k — never a corpus-wide token shuffle
+    # (the Window is the rank stamp over the already-limited k rows,
+    # same as the other top-k queries)
+    ("doc_bm25_topk",
+     ["Generate", "BroadcastHashJoin", "TakeOrderedAndProject"],
+     ["Python", "CartesianProduct", "SortMergeJoin"]),
     # unigram log-prob: same tf/df/broadcast shape as TF-IDF
     ("doc_unigram_logprob",
      ["Generate", "HashAggregate|SortAggregate", "BroadcastHashJoin"],
