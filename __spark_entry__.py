@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_kind_metrics": q.extract_kind_metrics,
         "conversation_stitch": q.conversation_stitch,
         "conversation_stitch_v1": q.conversation_stitch_v1,
+        "conversation_dedup_seeded": q.conversation_dedup_seeded,
         "extract_flat": q.extract_flat,
         "boxes_table_flags": q.boxes_table_flags,
         "extract_similarity_x16": q.extract_similarity_x16,
@@ -514,6 +515,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, stitched FROM read_parquet('{_g("stitch")}')""",
         "conversation_stitch_v1": f"""
             SELECT conv_id, stitched FROM read_parquet('{_g("stitch_v1")}')""",
+        # Conversation-level exact dedup over the stitched golden, with
+        # the same seeded-duplicate coin rebuilt from the md5 prefix.
+        "conversation_dedup_seeded": f"""
+            WITH s AS (SELECT conv_id, stitched
+                       FROM read_parquet('{_g("stitch")}')),
+            a AS (
+              SELECT conv_id, md5(stitched) h FROM s
+              UNION ALL
+              SELECT conv_id || '::dup', md5(stitched) FROM s
+              WHERE {_md5_prefix_int_sql("conv_id")} % 5 = 0),
+            g AS (SELECT h, cast(count(*) as bigint) group_sz,
+                         min(conv_id) keeper
+                  FROM a GROUP BY h)
+            SELECT a.conv_id, g.group_sz, (a.conv_id = g.keeper) keep
+            FROM a JOIN g USING (h)""",
         "extract_flat": f"""
             SELECT conv_id, turn_idx, flat_text
             FROM read_parquet('{_g("flat")}')""",

@@ -833,6 +833,41 @@ def _c4_page_filter_over(docs):
         clean.alias("clean_text"))
 
 
+CONV_DUP_MOD = 5  # seeded-duplicate coin for the conv-dedup oracle
+
+
+def conversation_dedup_seeded(spark, sf_dir):
+    """Exact dedup at CONVERSATION granularity over the north-star
+    extraction output: the stitched per-conversation text
+    (`conversation_stitch` — the same frame its golden oracle
+    certifies) is content-hashed and duplicate groups resolve to the
+    binary-least conv_id. The synthetic conversations are all distinct,
+    so real duplicate groups are SEEDED deterministically (every conv
+    whose md5-prefix coin lands < 1/5 is unioned again under
+    `<conv_id>::dup` — both engines rebuild the identical duplicated
+    corpus; the `doc_entities_seeded` non-vacuity pattern).
+
+    Scale: one extra union branch over the stitched frame, one shuffle
+    on the content hash (min(conv_id) + count per group), flag-back by
+    a key join that reuses the hash partitioning. This is how a 10^12-
+    turn corpus drops replayed/forked conversations before training.
+    Output: (conv_id, group_sz, keep)."""
+    stitched = conversation_stitch(spark, sf_dir)
+    coin = (F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10)
+            .cast("long") % CONV_DUP_MOD == 0)
+    dups = (stitched.filter(coin)
+            .select(F.concat(F.col("conv_id"), F.lit("::dup"))
+                    .alias("conv_id"), "stitched"))
+    allc = stitched.unionByName(dups).select(
+        "conv_id", F.md5("stitched").alias("h"))
+    groups = allc.groupBy("h").agg(
+        F.count("*").cast("long").alias("group_sz"),
+        F.min("conv_id").alias("keeper"))
+    return (allc.join(groups, "h")
+            .select("conv_id", "group_sz",
+                    (F.col("conv_id") == F.col("keeper")).alias("keep")))
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 20

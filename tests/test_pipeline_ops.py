@@ -619,3 +619,22 @@ def test_bm25_matches_bruteforce(spark, tmp_path):
     assert 5 not in got, "no-query-term doc is absent"
     assert got[1][1] < 10 * got[0][1], "tf saturates"
     assert got[2][1] > got[3][1], "shorter doc ranks higher at equal tf"
+
+
+def test_conversation_dedup_seeded_semantics(spark):
+    """Every seeded '::dup' copy is dropped (its original, binary-less
+    conv_id, keeps), unseeded conversations are singleton keepers, and
+    the seeding actually bites on the sf0.001 corpus."""
+    import ocr_image_to_text_spark.queries as q
+
+    rows = q.conversation_dedup_seeded(spark, "/root/testdata/sf0.001").collect()
+    by_id = {r.conv_id: r for r in rows}
+    dups = [r for r in rows if r.conv_id.endswith("::dup")]
+    assert dups, "seeding must produce duplicate groups"
+    for r in dups:
+        orig = by_id[r.conv_id[:-5]]
+        assert not r.keep and r.group_sz >= 2
+        assert orig.keep and orig.group_sz == r.group_sz
+    singles = [r for r in rows
+               if not r.conv_id.endswith("::dup") and r.group_sz == 1]
+    assert singles and all(r.keep for r in singles)

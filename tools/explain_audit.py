@@ -132,6 +132,13 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # conversation dedup: one content-hash shuffle + flag-back key join
+    # over the stitched frame; the single ArrowEvalPython belongs to the
+    # extraction dispatch inside conversation_stitch
+    ("conversation_dedup_seeded",
+     ["HashAggregate|SortAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["CartesianProduct"]),
     # BM25: query-vocab filter BEFORE aggregation, broadcast idf,
     # TakeOrdered top-k — never a corpus-wide token shuffle
     # (the Window is the rank stamp over the already-limited k rows,
