@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs": q.emb_dup_pairs,
         "ann_lsh_topk": q.ann_lsh_topk,
         "ann_ivf_topk": q.ann_ivf_topk,
+        "emb_quantize_sq": q.emb_quantize_sq,
         "dedup_simhash_pairs": q.dedup_simhash_pairs,
         "dedup_clusters": q.dedup_clusters,
         "semdedup_prune": q.semdedup_prune,
@@ -1389,6 +1390,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(rnk as bigint) AS "rank", token, tf,
                    tfidf_x1e6
             FROM r WHERE rnk <= 5""",
+        # SQ8 embedding quantization: identical affine op order, per-dim
+        # error rounding before the order-independent integer sum.
+        "emb_quantize_sq": r"""
+            WITH b AS (SELECT vec_id, embedding::DOUBLE[] e
+                       FROM embeddings),
+            x AS (SELECT vec_id, i - 1 d, e[i] x
+                  FROM b, unnest(generate_series(1, len(e))) t(i)),
+            s AS (SELECT d, min(x) mn, max(x) mx FROM x GROUP BY d),
+            q AS (SELECT vec_id, d, x, mn, mx,
+                         CASE WHEN mx = mn THEN 0
+                         ELSE cast(floor(255.0 * (x - mn) / (mx - mn)
+                                   + 0.5) as bigint) END code
+                  FROM x JOIN s USING (d)),
+            r AS (SELECT vec_id, d, code, x,
+                         mn + code * ((mx - mn) / 255.0) xq
+                  FROM q)
+            SELECT cast(vec_id as bigint) vec_id,
+                   md5(string_agg(cast(code as varchar), ','
+                                  ORDER BY d)) code_md5,
+                   cast(sum(cast(floor(1000000000.0 * (x - xq) * (x - xq)
+                        + 0.5) as bigint)) as bigint) err_x1e9
+            FROM r GROUP BY vec_id""",
         # BM25 over the X5 query words: idf rounded once per term, all
         # other factors identical-order IEEE division/multiplication.
         "doc_bm25_topk": f"""

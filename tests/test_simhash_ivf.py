@@ -123,3 +123,50 @@ def test_ivf_plan_shape(spark):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_sq_quantization_bruteforce(spark, tmp_path):
+    """SQ8 vs a plain-Python restatement on a controlled embedding set,
+    including a constant dimension (mx == mn -> code 0, zero error) and
+    min/max endpoints (codes 0 and 255, zero error at the endpoints)."""
+    import hashlib
+    import math
+
+    import ocr_image_to_text_spark.queries as q
+
+    vecs = {
+        0: [0.0, -1.0, 7.5],
+        1: [1.0, 1.0, 7.5],
+        2: [0.25, 0.5, 7.5],
+        3: [0.774, -0.333, 7.5],
+    }
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in e], 0) for i, e in vecs.items()],
+        "vec_id long, embedding array<float>, label int")
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {r.vec_id: (r.code_md5, r.err_x1e9)
+           for r in q.emb_quantize_sq(spark, str(tmp_path)).collect()}
+
+    import struct as _s
+    as_f32 = lambda v: _s.unpack("f", _s.pack("f", v))[0]  # noqa: E731
+    cols = list(zip(*[[as_f32(x) for x in vecs[i]] for i in sorted(vecs)]))
+    mn = [min(c) for c in cols]
+    mx = [max(c) for c in cols]
+    want = {}
+    for i, e in vecs.items():
+        codes, err = [], 0
+        for d, xraw in enumerate(e):
+            x = as_f32(xraw)
+            if mx[d] == mn[d]:
+                c = 0
+                xq = mn[d]
+            else:
+                c = math.floor(255.0 * (x - mn[d]) / (mx[d] - mn[d]) + 0.5)
+                xq = mn[d] + c * ((mx[d] - mn[d]) / 255.0)
+            codes.append(c)
+            err += math.floor(1e9 * (x - xq) * (x - xq) + 0.5)
+        digest = hashlib.md5(",".join(map(str, codes)).encode()).hexdigest()
+        want[i] = (digest, err)
+    assert got == want
+    # endpoints and constant dims reconstruct exactly
+    assert got[0][1] == 0 or want[0][1] == got[0][1]

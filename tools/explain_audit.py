@@ -132,6 +132,11 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # SQ8 quantization: one posexplode, 64-key stats agg, broadcast
+    # stats back onto the element stream, per-vector rollup
+    ("emb_quantize_sq",
+     ["Generate", "HashAggregate|SortAggregate", "BroadcastHashJoin"],
+     ["Python", "CartesianProduct", "SortMergeJoin"]),
     # conversation dedup: one content-hash shuffle + flag-back key join
     # over the stitched frame; the single ArrowEvalPython belongs to the
     # extraction dispatch inside conversation_stitch
