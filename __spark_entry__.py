@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_page_filter_seeded": q.doc_c4_page_filter_seeded,
         "corpus_top_tokens": q.corpus_top_tokens,
         "corpus_vocab_hll": q.corpus_vocab_hll,
+        "corpus_top_tokens_cms": q.corpus_top_tokens_cms,
         "doc_tfidf_topk": q.doc_tfidf_topk,
         "doc_unigram_logprob": q.doc_unigram_logprob,
         "doc_bm25_topk": q.doc_bm25_topk,
@@ -236,6 +237,35 @@ def _bloom_decontaminate_sql(m: int = 65536, k: int = 3) -> str:
                    cast(count(*) as bigint) n_grams,
                    cast(sum(all_hit) as bigint) n_bloom_hit_grams
             FROM pg GROUP BY doc_id"""
+
+
+def _cms_sql(k: int = 100, depth: int = 4, width: int = 1024) -> str:
+    """DuckDB twin of corpus_top_tokens_cms: same row-salted md5 column
+    hashes, 4-way unioned cell build, min-over-rows estimate."""
+    branches = "\n              UNION ALL\n".join(
+        f"              SELECT {r} r, "
+        + _md5_prefix_int_sql(f"'{r}:' || token") + f" % {width} col FROM t"
+        for r in range(depth))
+    joins = "\n            ".join(
+        f"LEFT JOIN g g{r} ON g{r}.r = {r} AND g{r}.col = "
+        + _md5_prefix_int_sql(f"'{r}:' || ex.token") + f" % {width}"
+        for r in range(depth))
+    least = ", ".join(f"coalesce(g{r}.cnt, 0)" for r in range(depth))
+    return rf"""
+            WITH t AS (SELECT unnest(regexp_extract_all(lower(text),
+                              '\w+')) token
+                       FROM documents),
+            ex AS (SELECT token, cast(count(*) as bigint) n
+                   FROM t GROUP BY token
+                   ORDER BY n DESC, token ASC LIMIT {k}),
+            cells AS (
+{branches}),
+            g AS (SELECT r, col, cast(count(*) as bigint) cnt
+                  FROM cells GROUP BY r, col)
+            SELECT ex.token, ex.n,
+                   cast(least({least}) as bigint) cms_est
+            FROM ex
+            {joins}"""
 
 
 def _vocab_hll_sql(m: int = 256) -> str:
@@ -1390,6 +1420,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(rnk as bigint) AS "rank", token, tf,
                    tfidf_x1e6
             FROM r WHERE rnk <= 5""",
+        # Count-Min Sketch beside the exact heavy hitters: pure integer
+        # arithmetic, same md5 row-salted column hashes.
+        "corpus_top_tokens_cms": _cms_sql(),
         # SQ8 embedding quantization: identical affine op order, per-dim
         # error rounding before the order-independent integer sum.
         "emb_quantize_sq": r"""

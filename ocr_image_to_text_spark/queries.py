@@ -845,6 +845,56 @@ def _c4_page_filter_over(docs):
         clean.alias("clean_text"))
 
 
+CMS_DEPTH = 4     # hash rows
+CMS_WIDTH = 1024  # counters per row
+
+
+def corpus_top_tokens_cms(spark, sf_dir, k: int = 100,
+                          depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """Count-Min Sketch frequency estimation (Cormode & Muthukrishnan
+    2005) beside the exact heavy hitters: at 100 TB the exact
+    `corpus_top_tokens` shuffles the full token vocabulary, while the
+    CMS is a fixed depth×width counter grid built with map-side
+    partials — this query runs both and reports, for each exact top-k
+    token, its CMS estimate, certifying the one-sided error bound
+    (est ≥ exact, overshoot ≤ εN with ε = e/width) end to end in
+    integer arithmetic — no transcendental anywhere.
+
+    Plan: ONE token explode feeds both the exact top-k branch and the
+    sketch branch (depth position hashes per token occurrence →
+    (row, col) cell counts, ≤ 4096 keys, map-side partials); the tiny
+    grid broadcast-joins back onto the top-k tokens; estimate = min
+    over rows. Output: (token, n, cms_est)."""
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
+    toks = docs.select(tok.alias("token"))
+    exact = (toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+             .orderBy(F.desc("n"), F.asc("token")).limit(k))
+
+    def col_of(token_col, r: int):
+        return (F.conv(F.substring(
+                    F.md5(F.concat(F.lit(f"{r}:"), token_col)), 1, 8), 16, 10)
+                .cast("long") % width)
+
+    cells = (toks.select(F.posexplode(F.array(
+                *[col_of(F.col("token"), r) for r in range(depth)]))
+                .alias("row", "col"))
+             .groupBy("row", "col")
+             .agg(F.count("*").cast("long").alias("cnt")))
+    est = None
+    probe = exact
+    for r in range(depth):
+        g = cells.filter(F.col("row") == r).select(
+            F.col("col").alias(f"c{r}"), F.col("cnt").alias(f"n{r}"))
+        probe = probe.join(
+            F.broadcast(g),
+            col_of(F.col("token"), r) == F.col(f"c{r}"), "left")
+        e_r = F.coalesce(F.col(f"n{r}"), F.lit(0))
+        est = e_r if est is None else F.least(est, e_r)
+    return probe.select("token", "n", est.cast("long").alias("cms_est"))
+
+
 SQ_LEVELS = 255  # int8 scalar-quantization levels
 
 

@@ -638,3 +638,26 @@ def test_conversation_dedup_seeded_semantics(spark):
     singles = [r for r in rows
                if not r.conv_id.endswith("::dup") and r.group_sz == 1]
     assert singles and all(r.keep for r in singles)
+
+
+def test_cms_one_sided_error_bound(spark, tmp_path):
+    """CMS guarantees: est >= exact always, and overshoot <= ceil(e/w * N)
+    with overwhelming margin on a vocabulary far wider than the grid."""
+    import math
+
+    import ocr_image_to_text_spark.queries as q
+
+    texts = [" ".join(f"tok{j}" for j in range(i, i + 300))
+             + " heavy " * 50 for i in range(0, 3000, 300)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", 0) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q.corpus_top_tokens_cms(spark, str(tmp_path)).collect()
+
+    n_total = sum(300 + 50 for _ in texts)
+    eps_bound = math.e / q.CMS_WIDTH * n_total
+    assert rows and any(r.token == "heavy" for r in rows)
+    for r in rows:
+        assert r.cms_est >= r.n, (r.token, r.cms_est, r.n)
+        assert r.cms_est - r.n <= max(10 * eps_bound, 50), r

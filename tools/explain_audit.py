@@ -132,6 +132,11 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # CMS: one token explode feeds exact top-k AND the 4096-cell grid;
+    # grid rows broadcast back onto the 100-token probe side
+    ("corpus_top_tokens_cms",
+     ["Generate", "TakeOrderedAndProject", "BroadcastHashJoin"],
+     ["CartesianProduct", "Python", "SortMergeJoin"]),
     # SQ8 quantization: one posexplode, 64-key stats agg, broadcast
     # stats back onto the element stream, per-vector rollup
     ("emb_quantize_sq",
