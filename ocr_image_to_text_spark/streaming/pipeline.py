@@ -217,3 +217,32 @@ def conversation_progress_stream(spark: SparkSession, source_dir: str,
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def quality_gate_stream(spark: SparkSession, source_dir: str,
+                        out_dir: str, checkpoint_dir: str,
+                        await_termination: bool = True):
+    """Streaming quality gate + PII redaction — the incremental twin of
+    the batch `doc_quality_gopher` keep decision composed with
+    `doc_redact`, applied per streamed turn: both are stateless
+    map-side JVM expression chains (no state, no join, no Python), so
+    at 10^12 turns this is the always-on ingest scrubber in front of
+    the corpus tables. Exactly-once across restarts via the
+    file-source checkpoint log."""
+    from ..functions.textfn import redact_col
+    from ..queries import _gopher_metrics
+
+    stream = read_transcript_stream(spark, source_dir)
+    keep = _gopher_metrics(F.col("text"))["keep"]
+    gated = (stream.filter(keep)
+             .select("conv_id", "turn_idx",
+                     redact_col(F.col("text")).alias("redacted_text")))
+    q = (gated.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .outputMode("append")
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -170,3 +170,34 @@ def test_decontaminate_stream_equals_batch_filter(spark, tmp_path, split_source)
             .collect()}
     assert got == want
     assert len(want) < batch.count()  # the filter actually dropped turns
+
+
+def test_quality_gate_stream_equals_batch(spark, tmp_path, split_source):
+    """Streaming Gopher-gate + redaction must equal the batch filter +
+    redaction over the same turns, including across a late-arrival
+    second availableNow run (delta-only processing)."""
+    from pyspark.sql import functions as F
+
+    from ocr_image_to_text_spark.functions.textfn import redact_col
+    from ocr_image_to_text_spark.queries import _gopher_metrics
+    from ocr_image_to_text_spark.streaming.pipeline import quality_gate_stream
+
+    d, t, half = split_source
+    out, ckpt = str(tmp_path / "qgout"), str(tmp_path / "qgckpt")
+    quality_gate_stream(spark, str(d), out, ckpt)
+    n_first = spark.read.parquet(out).count()
+
+    pq.write_table(t.slice(half), str(d / "part-1.parquet"))
+    quality_gate_stream(spark, str(d), out, ckpt)
+
+    got = {(r.conv_id, r.turn_idx): r.redacted_text
+           for r in spark.read.parquet(out).collect()}
+    batch = spark.read.parquet(str(d))
+    keep = _gopher_metrics(F.col("text"))["keep"]
+    want = {(r.conv_id, r.turn_idx): r.rt
+            for r in batch.filter(keep)
+            .select("conv_id", "turn_idx",
+                    redact_col(F.col("text")).alias("rt")).collect()}
+    assert got == want
+    assert 0 < n_first < len(want), "second run processed only the delta"
+    assert len(want) < batch.count(), "the gate actually dropped turns"
