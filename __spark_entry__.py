@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_tokens_cms": q.corpus_top_tokens_cms,
         "doc_tfidf_topk": q.doc_tfidf_topk,
         "doc_unigram_logprob": q.doc_unigram_logprob,
+        "doc_bigram_logprob": q.doc_bigram_logprob,
         "doc_bm25_topk": q.doc_bm25_topk,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
@@ -1445,6 +1446,42 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(floor(1000000000.0 * (x - xq) * (x - xq)
                         + 0.5) as bigint)) as bigint) err_x1e9
             FROM r GROUP BY vec_id""",
+        # Bigram-LM log-prob: ln rounded once per bigram type,
+        # add-1 smoothing against c(w1)+V, integer doc sums.
+        "doc_bigram_logprob": r"""
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '\w+') ws
+                       FROM documents),
+            bg0 AS (SELECT doc_id, ws[i] w1,
+                           ws[i] || ' ' || ws[i+1] bg
+                    FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)),
+            tfbg AS (SELECT cast(doc_id as bigint) doc_id, w1, bg,
+                            cast(count(*) as bigint) tf
+                     FROM bg0 GROUP BY doc_id, w1, bg),
+            cbg AS (SELECT w1, bg, cast(sum(tf) as bigint) c_bg
+                    FROM tfbg GROUP BY w1, bg),
+            cw AS (SELECT tok w1, cast(count(*) as bigint) c_w1 FROM (
+                     SELECT unnest(ws) tok FROM w) GROUP BY tok),
+            vs AS (SELECT cast(count(*) as bigint) v FROM cw),
+            lp AS (SELECT cbg.bg,
+                          cast(floor(1000000.0 * ln(
+                            (cbg.c_bg + 1.0) / (cw.c_w1 + vs.v)) + 0.5)
+                            as bigint) logp_x1e6
+                   FROM cbg JOIN cw USING (w1), vs),
+            r AS (SELECT tfbg.doc_id,
+                         cast(sum(tfbg.tf) as bigint) n_bigrams,
+                         cast(sum(tfbg.tf * lp.logp_x1e6) as bigint)
+                             sum_logp_x1e6
+                  FROM tfbg JOIN lp USING (bg)
+                  GROUP BY tfbg.doc_id)
+            SELECT cast(d.doc_id as bigint) doc_id,
+                   cast(coalesce(r.n_bigrams, 0) as bigint) n_bigrams,
+                   cast(coalesce(r.sum_logp_x1e6, 0) as bigint)
+                       sum_logp_x1e6,
+                   cast(CASE WHEN coalesce(r.n_bigrams, 0) = 0 THEN 0
+                        ELSE floor(r.sum_logp_x1e6 / r.n_bigrams) END
+                        as bigint) mean_logp_x1e6
+            FROM documents d LEFT JOIN r USING (doc_id)""",
         # BM25 over the X5 query words: idf rounded once per term, all
         # other factors identical-order IEEE division/multiplication.
         "doc_bm25_topk": f"""

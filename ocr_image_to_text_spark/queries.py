@@ -975,6 +975,66 @@ def conversation_dedup_seeded(spark, sf_dir):
                     (F.col("conv_id") == F.col("keeper")).alias("keep")))
 
 
+def doc_bigram_logprob(spark, sf_dir):
+    """Bigram-LM perplexity signal — the fidelity upgrade of
+    `doc_unigram_logprob` toward CCNet's KenLM (Wenzek et al. 2020):
+    per doc, sum/mean of ln p(w2|w1) under the add-1-smoothed corpus
+    bigram model, p = (c(w1 w2)+1)/(c(w1)+V). Repetitive/templated
+    text scores high, character-soup and shuffled text score low —
+    the head/middle/tail routing signal.
+
+    Determinism: ln rounded once per bigram TYPE to the 1e6 grid,
+    integer per-doc sums, exact-integer floored means (the repo's ln
+    convention). Scale note: unlike the unigram table, the bigram-type
+    table is NOT broadcastable at corpus scale — the logp lookup is a
+    key equi-join on the bigram (sort-merge/shuffled-hash; AQE picks),
+    the one quality signal in the suite that legitimately shuffles on
+    a high-cardinality derived key. Everything else is partial-agg
+    shuffles. Output: (doc_id, n_bigrams, sum_logp_x1e6,
+    mean_logp_x1e6)."""
+    docs = _docs(spark, sf_dir)
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.struct(
+                        F.element_at(words, i + 1).alias("w1"),
+                        F.concat_ws(" ", F.slice(words, i + 1, 2))
+                        .alias("bg"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
+    tfbg = (docs.select(F.col("doc_id").cast("long"),
+                        F.explode(pairs).alias("p"))
+            .select("doc_id", F.col("p.w1").alias("w1"),
+                    F.col("p.bg").alias("bg"))
+            .groupBy("doc_id", "w1", "bg")
+            .agg(F.count("*").cast("long").alias("tf")))
+    cbg = tfbg.groupBy("w1", "bg").agg(F.sum("tf").cast("long").alias("c_bg"))
+    cw = (docs.select(F.explode(words).alias("w1"))
+          .groupBy("w1").agg(F.count("*").cast("long").alias("c_w1")))
+    vstat = cw.agg(F.count("*").cast("long").alias("v"))
+    lp = (cbg.join(cw, "w1")
+          .crossJoin(F.broadcast(vstat))
+          .select("bg", F.floor(F.lit(1000000.0) * F.log(
+              (F.col("c_bg") + 1.0) / (F.col("c_w1") + F.col("v"))) + 0.5)
+              .cast("long").alias("logp_x1e6")))
+    rolled = (tfbg.join(lp, "bg")
+              .groupBy("doc_id")
+              .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                   F.sum(F.col("tf") * F.col("logp_x1e6")).cast("long")
+                   .alias("sum_logp_x1e6")))
+    base = docs.select(F.col("doc_id").cast("long"))
+    out = base.join(rolled, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+        .alias("n_bigrams"),
+        F.coalesce(F.col("sum_logp_x1e6"), F.lit(0)).cast("long")
+        .alias("sum_logp_x1e6"),
+        F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0))
+        .otherwise(F.floor(F.col("sum_logp_x1e6") / F.col("n_bigrams")))
+        .cast("long").alias("mean_logp_x1e6"))
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 20

@@ -661,3 +661,45 @@ def test_cms_one_sided_error_bound(spark, tmp_path):
     for r in rows:
         assert r.cms_est >= r.n, (r.token, r.cms_est, r.n)
         assert r.cms_est - r.n <= max(10 * eps_bound, 50), r
+
+
+def test_bigram_logprob_matches_bruteforce(spark, tmp_path):
+    """Bigram-LM signal vs a plain-Python restatement: a doc made of the
+    corpus's dominant bigrams out-scores a doc of the same unigrams in
+    shuffled order (the property the unigram signal CANNOT see)."""
+    import math
+    import re
+    from collections import Counter
+
+    import ocr_image_to_text_spark.queries as q
+
+    common = "the quick brown fox "
+    docs = [
+        (0, common * 8),
+        (1, common * 8),
+        (2, "quick the fox brown " * 8),   # same unigrams, alien bigrams
+        (3, "one word"),
+        (4, "solo"),                        # no bigrams
+    ]
+    df = spark.createDataFrame(
+        [(d, t.strip(), "en", "s", 0) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: (r.n_bigrams, r.sum_logp_x1e6, r.mean_logp_x1e6)
+           for r in q.doc_bigram_logprob(spark, str(tmp_path)).collect()}
+
+    toks = {d: re.findall(r"\w+", t.strip().lower()) for d, t in docs}
+    uni = Counter(tok for ts in toks.values() for tok in ts)
+    v = len(uni)
+    bg = Counter((ts[i], " ".join(ts[i:i + 2]))
+                 for ts in toks.values() for i in range(len(ts) - 1))
+    lp = {b: math.floor(1e6 * math.log((c + 1.0) / (uni[w1] + v)) + 0.5)
+          for (w1, b), c in bg.items()}
+    want = {}
+    for d, ts in toks.items():
+        bgs = [" ".join(ts[i:i + 2]) for i in range(len(ts) - 1)]
+        s = sum(lp[b] for b in bgs)
+        want[d] = (len(bgs), s, math.floor(s / len(bgs)) if bgs else 0)
+    assert got == want
+    assert got[0][2] > got[2][2], "bigram order matters"
+    assert got[4] == (0, 0, 0)

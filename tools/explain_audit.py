@@ -149,6 +149,13 @@ AUDITS = [
      ["HashAggregate|SortAggregate",
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
      ["CartesianProduct"]),
+    # bigram LM: the logp lookup legitimately shuffles on the
+    # high-cardinality bigram key (table not broadcastable at scale) —
+    # any join strategy is fine, a cartesian is not
+    ("doc_bigram_logprob",
+     ["Generate", "HashAggregate|SortAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["Python", "CartesianProduct"]),
     # BM25: query-vocab filter BEFORE aggregation, broadcast idf,
     # TakeOrdered top-k — never a corpus-wide token shuffle
     # (the Window is the rank stamp over the already-limited k rows,
