@@ -860,8 +860,10 @@ def corpus_top_tokens_cms(spark, sf_dir, k: int = 100,
     (est ≥ exact, overshoot ≤ εN with ε = e/width) end to end in
     integer arithmetic — no transcendental anywhere.
 
-    Plan: ONE token explode feeds both the exact top-k branch and the
-    sketch branch (depth position hashes per token occurrence →
+    Plan: the token explode feeds the exact top-k branch and the
+    sketch branch (each scan-bound branch re-evaluates the cheap
+    explode rather than caching an unboundedly large raw token
+    stream) (depth position hashes per token occurrence →
     (row, col) cell counts, ≤ 4096 keys, map-side partials); the tiny
     grid broadcast-joins back onto the top-k tokens; estimate = min
     over rows. Output: (token, n, cms_est)."""
@@ -959,7 +961,9 @@ def conversation_dedup_seeded(spark, sf_dir):
     a key join that reuses the hash partitioning. This is how a 10^12-
     turn corpus drops replayed/forked conversations before training.
     Output: (conv_id, group_sz, keep)."""
-    stitched = conversation_stitch(spark, sf_dir)
+    # stitched feeds both union branches — cache it so the Arrow
+    # extraction dispatch runs once
+    stitched = conversation_stitch(spark, sf_dir).cache()
     coin = (F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10)
             .cast("long") % CONV_DUP_MOD == 0)
     dups = (stitched.filter(coin)
@@ -1070,8 +1074,10 @@ def doc_bm25_topk(spark, sf_dir, k: int = BM25_TOP_K):
                         F.size(words).cast("long").alias("dl"),
                         F.explode(words).alias("token"))
             .filter(F.col("token").isin(KEYWORD_QUERY_WORDS)))
+    # tf feeds BOTH the df branch and the scoring join — cache the
+    # (tiny, query-vocab-filtered) frame so the explode runs once
     tf = (base.groupBy("doc_id", "dl", "token")
-          .agg(F.count("*").cast("long").alias("tf")))
+          .agg(F.count("*").cast("long").alias("tf"))).cache()
     dfq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     stats = docs.agg(F.count("*").cast("long").alias("n_docs"),
                      F.sum(F.size(words)).cast("long").alias("sum_dl"))
@@ -1119,9 +1125,11 @@ def doc_unigram_logprob(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     tok = F.explode(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
+    # tf feeds BOTH the model-count branch and the rollup — cache the
+    # compacted frame so the token explode runs once
     tf = (docs.select(F.col("doc_id").cast("long"), tok.alias("token"))
           .groupBy("doc_id", "token")
-          .agg(F.count("*").cast("long").alias("tf")))
+          .agg(F.count("*").cast("long").alias("tf"))).cache()
     counts = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("cnt"))
     total = counts.agg(F.sum("cnt").cast("long").alias("n_total"))
     logp = (counts.crossJoin(F.broadcast(total))
@@ -1170,9 +1178,12 @@ def doc_tfidf_topk(spark, sf_dir, k: int = TFIDF_TOP_K):
     docs = _docs(spark, sf_dir)
     tok = F.explode(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
+    # tf feeds BOTH the df branch and the scoring join — cache the
+    # compacted frame so the token explode runs once (at warehouse
+    # scale, materialize tf to a table instead)
     tf = (docs.select(F.col("doc_id").cast("long"), tok.alias("token"))
           .groupBy("doc_id", "token")
-          .agg(F.count("*").cast("long").alias("tf")))
+          .agg(F.count("*").cast("long").alias("tf"))).cache()
     n_docs = docs.agg(F.count("*").cast("long").alias("n"))
     # tf rows are unique per (doc, token), so df = count(*) — no
     # distinct aggregation needed
@@ -1336,9 +1347,11 @@ def corpus_pipeline_v3(spark, sf_dir, top_n: int = PIPELINE_V3_TOP_N):
     m = _gopher_metrics(F.col("text"))
     gated = cleaned.filter(m["keep"]).select("doc_id", "text")
     dw = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+    # surv feeds BOTH the DSIR gram build and the weights base join;
+    # cache it so the C4+Gopher+dedup chain runs once
     surv = (gated.withColumn("rn", F.row_number().over(dw))
             .filter(F.col("rn") == 1).drop("rn")
-            .filter(F.col("doc_id") % DSIR_TARGET_MOD != 0))
+            .filter(F.col("doc_id") % DSIR_TARGET_MOD != 0)).cache()
     target = (docs.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
               .select("doc_id", "text"))
     g = (_dsir_gram_buckets(target, F.lit(True))
@@ -1421,10 +1434,22 @@ def _dsir_gram_buckets(docs, is_t_col, n_buckets: int = DSIR_BUCKETS):
 
 
 def _dsir_rollup(g, n_buckets: int = DSIR_BUCKETS):
-    """Bucket counts → broadcast log-ratio table → per-raw-doc sums."""
-    c = g.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("cnt_t"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cnt_r"))
+    """Bucket counts → broadcast log-ratio table → per-raw-doc sums.
+
+    The raw gram stream `g` feeds BOTH the model-count branch and the
+    scoring rollup; evaluating it twice doubles the dominant
+    tokenize+hash cost (the bigram-LM lesson). Instead the stream is
+    first compacted to per-(doc, bucket) counts — bounded by
+    docs × (B+1) rows — and THAT frame is cached and shared; every
+    downstream branch derives from it without touching the raw stream
+    again."""
+    gtf = (g.groupBy("doc_id", "is_t", "bucket")
+           .agg(F.count("*").cast("long").alias("cnt"))).cache()
+    c = gtf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0))
+        .alias("cnt_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("cnt")))
+        .alias("cnt_r"))
     totals = c.agg(F.sum("cnt_t").alias("n_t"), F.sum("cnt_r").alias("n_r"))
     lr = (c.crossJoin(F.broadcast(totals))
           .select("bucket",
@@ -1432,11 +1457,12 @@ def _dsir_rollup(g, n_buckets: int = DSIR_BUCKETS):
                       ((F.col("cnt_t") + 1.0) / (F.col("n_t") + n_buckets))
                       * ((F.col("n_r") + n_buckets) / (F.col("cnt_r") + 1.0)))
                       + 0.5).cast("long").alias("lr_x1e6")))
-    return (g.filter(~F.col("is_t"))
+    return (gtf.filter(~F.col("is_t"))
             .join(F.broadcast(lr), "bucket")
             .groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_grams"),
-                 F.sum("lr_x1e6").cast("long").alias("dsir_logw_x1e6")))
+            .agg(F.sum("cnt").cast("long").alias("n_grams"),
+                 F.sum(F.col("cnt") * F.col("lr_x1e6")).cast("long")
+                 .alias("dsir_logw_x1e6")))
 
 
 MIX_BUDGET_TOKENS = 800  # per-source token budget (uniform default)
