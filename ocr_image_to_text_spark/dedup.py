@@ -132,7 +132,10 @@ def dup_gram_stats(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
 
     Output: (doc_id, n_grams, n_dup_grams, dup_frac_x1000).
     """
-    sh = shingles(docs, width)
+    # the shingle frame feeds BOTH the df aggregation and the flag-back
+    # join — cache it so the gram explode runs once (same shared-frame
+    # rule as minhash signatures / the bigram tf frame)
+    sh = shingles(docs, width).cache()
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     flagged = sh.join(df_counts, "shingle").select(
         "doc_id", (F.col("df") > 1).cast("int").alias("is_dup"))
@@ -393,10 +396,12 @@ def c4_span_stats(docs: DataFrame, span_sents: int = 3) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     norm = lambda s: F.trim(  # noqa: E731
         F.regexp_replace(F.lower(s), "[^a-z0-9]+", " "))
+    # the span frame feeds BOTH the group aggregation and the flag-back
+    # join — cache it so the sentence split + span build runs once
     sp = (docs.select("doc_id", F.posexplode(spans).alias("span_idx", "span"))
           .select(F.col("doc_id").cast("long"),
                   F.col("span_idx").cast("long"),
-                  F.md5(norm(F.col("span"))).alias("key")))
+                  F.md5(norm(F.col("span"))).alias("key"))).cache()
     agg = sp.groupBy("key").agg(
         F.count("*").alias("cnt"),
         F.min(F.struct("doc_id", "span_idx")).alias("first"))

@@ -920,9 +920,12 @@ def emb_quantize_sq(spark, sf_dir):
     → per-vector rollup. No self-join; the stats table is KBs at any
     corpus size. Output: (vec_id, code_md5, err_x1e9)."""
     emb, _dim = _emb(spark, sf_dir)
+    # the element stream feeds BOTH the stats aggregation and the
+    # quantization pass — cache it so the posexplode runs once
     x = emb.select(F.col("vec_id").cast("long"),
                    F.posexplode("embedding").alias("d", "xf")) \
-           .select("vec_id", "d", F.col("xf").cast("double").alias("x"))
+           .select("vec_id", "d", F.col("xf").cast("double").alias("x")) \
+           .cache()
     stats = x.groupBy("d").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     q = (x.join(F.broadcast(stats), "d")
          .withColumn("code", F.when(
