@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_dup_spans": q.dedup_dup_spans,
         "dedup_c4_spans": q.dedup_c4_spans,
         "doc_length_histogram": q.doc_length_histogram,
+        "corpus_length_quantiles": q.corpus_length_quantiles,
         "corpus_sample_stratified": q.corpus_sample_stratified,
         "corpus_dsir_weights": q.corpus_dsir_weights,
         "corpus_mix_budget": q.corpus_mix_budget,
@@ -1421,6 +1422,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(rnk as bigint) AS "rank", token, tf,
                    tfidf_x1e6
             FROM r WHERE rnk <= 5""",
+        # Exact per-lang length quantiles: Spark percentile and DuckDB
+        # quantile_cont share the interpolation definition (verified
+        # bit-identical on bigint inputs).
+        "corpus_length_quantiles": r"""
+            WITH b AS (SELECT lang,
+                cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END as bigint) nw
+                FROM documents)
+            SELECT lang, cast(count(*) as bigint) n_docs,
+                   cast(floor(quantile_cont(nw, 0.25) * 1000000.0 + 0.5)
+                        as bigint) p25_x1e6,
+                   cast(floor(quantile_cont(nw, 0.5) * 1000000.0 + 0.5)
+                        as bigint) p50_x1e6,
+                   cast(floor(quantile_cont(nw, 0.75) * 1000000.0 + 0.5)
+                        as bigint) p75_x1e6,
+                   cast(floor(quantile_cont(nw, 0.95) * 1000000.0 + 0.5)
+                        as bigint) p95_x1e6
+            FROM b GROUP BY lang""",
         # Count-Min Sketch beside the exact heavy hitters: pure integer
         # arithmetic, same md5 row-salted column hashes.
         "corpus_top_tokens_cms": _cms_sql(),

@@ -845,6 +845,35 @@ def _c4_page_filter_over(docs):
         clean.alias("clean_text"))
 
 
+QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.95)
+
+
+def corpus_length_quantiles(spark, sf_dir):
+    """Per-language ordered statistics of document length (word count):
+    exact interpolated p25/p50/p75/p95 — the corpus-profiling numbers a
+    length-filter or curriculum design reads first. Exact percentiles
+    need a per-group sort, priced here deliberately: the group key is
+    lang (tens of groups), Spark's `percentile` aggregates with
+    map-side partial state, and at 100 TB the same query swaps to a
+    mergeable quantile sketch at the cost of exactness — the exact
+    version IS the oracle the sketch would be validated against.
+
+    Determinism: Spark `percentile` and DuckDB `quantile_cont` share
+    the linear-interpolation definition over exact bigint inputs —
+    verified bit-identical — and results round once to the 1e6 grid.
+    Output: (lang, n_docs, p25_x1e6, p50_x1e6, p75_x1e6, p95_x1e6)."""
+    docs = _docs(spark, sf_dir)
+    n_words = (F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+               .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))))
+    base = docs.select("lang", n_words.cast("long").alias("nw"))
+    aggs = [F.count("*").cast("long").alias("n_docs")]
+    for p in QUANTILE_PROBS:
+        name = f"p{int(p * 100)}_x1e6"
+        aggs.append(F.floor(F.expr(f"percentile(nw, {p})") * 1000000.0
+                            + 0.5).cast("long").alias(name))
+    return base.groupBy("lang").agg(*aggs)
+
+
 CMS_DEPTH = 4     # hash rows
 CMS_WIDTH = 1024  # counters per row
 

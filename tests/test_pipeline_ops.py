@@ -703,3 +703,32 @@ def test_bigram_logprob_matches_bruteforce(spark, tmp_path):
     assert got == want
     assert got[0][2] > got[2][2], "bigram order matters"
     assert got[4] == (0, 0, 0)
+
+
+def test_length_quantiles_bruteforce(spark, tmp_path):
+    """Exact interpolated quantiles vs numpy's linear method on a
+    controlled per-lang corpus, including a single-doc group (all
+    quantiles equal its length)."""
+    import math
+
+    import numpy as np
+
+    import ocr_image_to_text_spark.queries as q
+
+    docs = ([(i, "w " * (i + 1), "en", "s", 0) for i in range(10)]
+            + [(100, "a b c", "zh", "s", 0)])
+    df = spark.createDataFrame(
+        [(d, t.strip(), "en" if lang == "en" else lang, "s", 0)
+         for d, t, lang, _, _ in docs],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.lang: r for r in
+           q.corpus_length_quantiles(spark, str(tmp_path)).collect()}
+
+    en = np.array([i + 1 for i in range(10)], dtype=float)
+    for p in q.QUANTILE_PROBS:
+        want = math.floor(np.quantile(en, p, method="linear") * 1e6 + 0.5)
+        assert got["en"][f"p{int(p * 100)}_x1e6"] == want, p
+    assert got["zh"].n_docs == 1
+    assert all(got["zh"][f"p{int(p * 100)}_x1e6"] == 3_000_000
+               for p in q.QUANTILE_PROBS)

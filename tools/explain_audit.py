@@ -132,6 +132,11 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # exact quantiles: single grouped aggregate (ObjectHashAggregate
+    # for the percentile buffer), no join, no window, no Python
+    ("corpus_length_quantiles",
+     ["ObjectHashAggregate|SortAggregate|HashAggregate"],
+     ["Python", "Join", "Window", "CartesianProduct"]),
     # CMS: one token explode feeds exact top-k AND the 4096-cell grid;
     # grid rows broadcast back onto the 100-token probe side
     ("corpus_top_tokens_cms",
