@@ -165,7 +165,11 @@ def ivf_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
 
     Output: (query_id, rank, neighbor_id, cos_x1e9).
     """
-    base = with_norm(emb, dim=dim).select("vec_id", "_e", "_norm")
+    # base feeds the centroid filter, the assignment cross-join and
+    # (via members) BOTH sides of the in-cell self-join — cache it and
+    # the assigned frame so the norm fold and the argmin assignment run
+    # once each (shared-frame rule; was 18 parquet scans uncached)
+    base = with_norm(emb, dim=dim).select("vec_id", "_e", "_norm").cache()
     cent = base.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("_e").alias("_ce"))
 
@@ -272,7 +276,7 @@ def semdedup_prune(emb: DataFrame, n_cells: int = 16, threshold: float = 0.35,
            .agg(F.min(F.struct("d", "cid")).alias("m"))
            .select("vec_id", F.col("m.cid").alias("cell"),
                    F.col("m.d").alias("dcent")))
-    members = base.join(asn, "vec_id")
+    members = base.join(asn, "vec_id").cache()
 
     a = members.select("cell", "vec_id", F.col("_e").alias("_ea"),
                        F.col("_norm").alias("_na"), F.col("dcent").alias("da"))
