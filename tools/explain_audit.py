@@ -132,6 +132,14 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # TPC-H-shaped OLAP: Q1 is scan(pushed shipdate filter) + one
+    # grouped aggregate; Q3 must broadcast the filtered customer side
+    # and compile the top-k to TakeOrdered
+    ("tpch_pricing_summary", ["PushedFilters", "HashAggregate"],
+     ["Python", "Join", "Window", "CartesianProduct"]),
+    ("tpch_top_revenue",
+     ["BroadcastHashJoin", "TakeOrderedAndProject", "PushedFilters"],
+     ["Python", "CartesianProduct"]),
     # exact quantiles: single grouped aggregate (ObjectHashAggregate
     # for the percentile buffer), no join, no window, no Python
     ("corpus_length_quantiles",
