@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- warehouse tables (TPC-H-shaped OLAP) ---
         "tpch_pricing_summary": q.tpch_pricing_summary,
         "tpch_top_revenue": q.tpch_top_revenue,
+        "tpch_local_supplier_revenue": q.tpch_local_supplier_revenue,
         # --- events (streaming-adjacent batch ops) ---
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
@@ -1457,6 +1458,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate
             ORDER BY revenue_c DESC, o.o_orderkey ASC
             LIMIT 10""",
+        "tpch_local_supplier_revenue": r"""
+            SELECT n.n_name,
+                   cast(sum(cast(floor(l.l_extendedprice
+                        * (1.0 - l.l_discount) * 100.0 + 0.5) as bigint))
+                        as bigint) revenue_c
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name""",
         # Exact per-lang length quantiles: Spark percentile and DuckDB
         # quantile_cont share the interpolation definition (verified
         # bit-identical on bigint inputs).

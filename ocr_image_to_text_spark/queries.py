@@ -913,6 +913,48 @@ def tpch_top_revenue(spark, sf_dir, k: int = 10):
         "revenue_c")
 
 
+TPCH_REGION = "ASIA"
+
+
+def tpch_local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped local-supplier revenue: the six-way join
+    (customer ⨝ orders ⨝ lineitem ⨝ supplier ⨝ nation ⨝ region) with
+    the local-supplier constraint c_nationkey = s_nationkey, revenue
+    per nation in one region. The join-planning exhibit: region/nation/
+    supplier/customer are all broadcast-sized dims (Catalyst broadcasts
+    every one under the threshold; the only real shuffle is
+    orders ⨝ lineitem on orderkey), and the dim filters prune before
+    the fact scan joins. Revenue is per-row floored cents.
+    Output: (n_name, revenue_c)."""
+    p = lambda t: os.path.join(sf_dir, f"{t}.parquet")  # noqa: E731
+    region = (spark.read.parquet(p("region"))
+              .filter(F.col("r_name") == TPCH_REGION))
+    nation = (spark.read.parquet(p("nation"))
+              .join(F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("n_nationkey", "n_name"))
+    supplier = (spark.read.parquet(p("supplier"))
+                .join(F.broadcast(nation),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey", "s_nationkey", "n_name"))
+    customer = spark.read.parquet(p("customer")).select(
+        "c_custkey", "c_nationkey")
+    orders = spark.read.parquet(p("orders")).select(
+        "o_orderkey", "o_custkey")
+    li = (spark.read.parquet(p("lineitem"))
+          .select("l_orderkey", "l_suppkey",
+                  _cents(F.col("l_extendedprice")
+                         * (1.0 - F.col("l_discount"))).alias("rev_c")))
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+              .join(F.broadcast(supplier),
+                    (li.l_suppkey == supplier.s_suppkey)
+                    & (customer.c_nationkey == supplier.s_nationkey)))
+    return (joined.groupBy("n_name")
+            .agg(F.sum("rev_c").cast("long").alias("revenue_c")))
+
+
 QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.95)
 
 

@@ -137,6 +137,12 @@ AUDITS = [
     # and compile the top-k to TakeOrdered
     ("tpch_pricing_summary", ["PushedFilters", "HashAggregate"],
      ["Python", "Join", "Window", "CartesianProduct"]),
+    # Q5 shape: every dim broadcast, the ONLY real shuffle is
+    # orders ⨝ lineitem on orderkey — a SortMergeJoin there is fine,
+    # a cartesian anywhere is not
+    ("tpch_local_supplier_revenue",
+     ["BroadcastHashJoin", "HashAggregate"],
+     ["Python", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     ("tpch_top_revenue",
      ["BroadcastHashJoin", "TakeOrderedAndProject", "PushedFilters"],
      ["Python", "CartesianProduct"]),
