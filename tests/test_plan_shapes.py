@@ -98,3 +98,26 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     for forbidden in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
                       "LocalTableScan"):
         assert forbidden not in plan
+
+
+def test_round3_corpus_ops_plan_shapes(spark):
+    """Round-3 wave plans: BM25 stays TakeOrdered with a broadcast idf
+    (never a corpus-token shuffle against a 5-row table), DSIR keeps its
+    broadcast parameter table, the C4 page filter never shuffles, and
+    none of them run Python."""
+    from ocr_image_to_text_spark import queries as q
+
+    bm25 = _plan(q.doc_bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in bm25
+    assert "BroadcastHashJoin" in bm25
+    assert "CartesianProduct" not in bm25
+
+    dsir = _plan(q.corpus_dsir_weights(spark, SF))
+    assert "BroadcastHashJoin" in dsir
+    assert "CartesianProduct" not in dsir
+
+    c4 = _plan(q.doc_c4_page_filter(spark, SF))
+    assert "hashpartitioning" not in c4, "the page filter must not shuffle"
+
+    for plan in (bm25, dsir, c4):
+        assert "EvalPython" not in plan and "InPandas" not in plan
