@@ -999,30 +999,35 @@ def corpus_top_tokens_cms(spark, sf_dir, k: int = 100,
     (est ≥ exact, overshoot ≤ εN with ε = e/width) end to end in
     integer arithmetic — no transcendental anywhere.
 
-    Plan: the token explode feeds the exact top-k branch and the
-    sketch branch (each scan-bound branch re-evaluates the cheap
-    explode rather than caching an unboundedly large raw token
-    stream) (depth position hashes per token occurrence →
+    Plan: the occurrence stream compacts to cached per-token counts
+    (ONE token shuffle); the exact top-k and the sketch grid both
+    derive from that vocab-sized frame, so grid hashing is per token
+    type weighted by count — never per occurrence (depth position hashes per token occurrence →
     (row, col) cell counts, ≤ 4096 keys, map-side partials); the tiny
     grid broadcast-joins back onto the top-k tokens; estimate = min
     over rows. Output: (token, n, cms_est)."""
     docs = _docs(spark, sf_dir)
     tok = F.explode(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
-    toks = docs.select(tok.alias("token"))
-    exact = (toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
-             .orderBy(F.desc("n"), F.asc("token")).limit(k))
+    # ONE token shuffle total: the occurrence stream compacts to
+    # per-token counts first (cached), and BOTH the exact top-k and the
+    # sketch grid derive from that vocab-sized frame — the grid hashes
+    # each token TYPE once (weighted by its count), not every occurrence
+    tfc = (docs.select(tok.alias("token"))
+           .groupBy("token").agg(F.count("*").cast("long").alias("n"))
+           ).cache()
+    exact = tfc.orderBy(F.desc("n"), F.asc("token")).limit(k)
 
     def col_of(token_col, r: int):
         return (F.conv(F.substring(
                     F.md5(F.concat(F.lit(f"{r}:"), token_col)), 1, 8), 16, 10)
                 .cast("long") % width)
 
-    cells = (toks.select(F.posexplode(F.array(
+    cells = (tfc.select("n", F.posexplode(F.array(
                 *[col_of(F.col("token"), r) for r in range(depth)]))
                 .alias("row", "col"))
              .groupBy("row", "col")
-             .agg(F.count("*").cast("long").alias("cnt")))
+             .agg(F.sum("n").cast("long").alias("cnt")))
     est = None
     probe = exact
     for r in range(depth):
