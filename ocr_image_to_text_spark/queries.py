@@ -1428,8 +1428,11 @@ def corpus_vocab_hll(spark, sf_dir, m: int = HLL_BUCKETS):
     docs = _docs(spark, sf_dir)
     tok = F.explode(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
-    h = docs.select(tok.alias("token")).select(
-        "token", F.md5("token").alias("h"))
+    # registers depend only on DISTINCT tokens — compact the occurrence
+    # stream to the vocab first (one shuffle, cached) so both the
+    # register build and the exact count hash/count per token type
+    vocab = docs.select(tok.alias("token")).distinct().cache()
+    h = vocab.select("token", F.md5("token").alias("h"))
     v24 = F.conv(F.substring("h", 3, 6), 16, 10).cast("long")
     rho = (F.when(v24 == 0, F.lit(25))
            .otherwise(25 - F.length(F.bin(v24)))).cast("int")
@@ -1449,9 +1452,7 @@ def corpus_vocab_hll(spark, sf_dir, m: int = HLL_BUCKETS):
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero"))
     est = F.when((raw <= 2.5 * m) & (F.col("n_zero") > 0), linear) \
            .otherwise(raw)
-    exact = (docs.select(tok.alias("token"))
-             .agg(F.countDistinct("token").cast("long")
-                  .alias("exact_distinct")))
+    exact = vocab.agg(F.count("*").cast("long").alias("exact_distinct"))
     return (agg.crossJoin(exact)
             .select(F.lit(m).cast("long").alias("m"),
                     F.col("n_zero").alias("n_zero_registers"),
