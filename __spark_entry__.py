@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q.tpch_pricing_summary,
         "tpch_top_revenue": q.tpch_top_revenue,
         "tpch_local_supplier_revenue": q.tpch_local_supplier_revenue,
+        "tpch_promo_revenue": q.tpch_promo_revenue,
         # --- events (streaming-adjacent batch ops) ---
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
@@ -1458,6 +1459,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate
             ORDER BY revenue_c DESC, o.o_orderkey ASC
             LIMIT 10""",
+        "tpch_promo_revenue": r"""
+            SELECT cast(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN cast(floor(l.l_extendedprice
+                             * (1.0 - l.l_discount) * 100.0 + 0.5) as bigint)
+                        ELSE 0 END) as bigint) promo_rev_c,
+                   cast(sum(cast(floor(l.l_extendedprice
+                        * (1.0 - l.l_discount) * 100.0 + 0.5) as bigint))
+                        as bigint) total_rev_c,
+                   cast(floor(1000000.0 * 100.0
+                        * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN cast(floor(l.l_extendedprice
+                                   * (1.0 - l.l_discount) * 100.0 + 0.5)
+                                   as bigint) ELSE 0 END)
+                        / sum(cast(floor(l.l_extendedprice
+                              * (1.0 - l.l_discount) * 100.0 + 0.5)
+                              as bigint)) + 0.5) as bigint) promo_pct_x1e6
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l.l_shipdate < TIMESTAMP '1999-01-01'""",
         "tpch_local_supplier_revenue": r"""
             SELECT n.n_name,
                    cast(sum(cast(floor(l.l_extendedprice

@@ -913,6 +913,37 @@ def tpch_top_revenue(spark, sf_dir, k: int = 10):
         "revenue_c")
 
 
+def tpch_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped promo-revenue ratio: lineitem ⨝ part (the last
+    provided warehouse table — every driver table now feeds at least
+    one oracle-checked query), shipdate-windowed, share of revenue from
+    PROMO parts. The part side is broadcast (thousands of rows vs the
+    fact table); revenue is per-row floored cents, and the ratio
+    divides two exact integers once (< 2^53, identically rounded in
+    both engines). Output: (promo_rev_c, total_rev_c, promo_pct_x1e6).
+    """
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .filter((F.col("l_shipdate") >= F.lit("1998-01-01").cast(
+              "timestamp_ntz"))
+                  & (F.col("l_shipdate") < F.lit("1999-01-01").cast(
+                      "timestamp_ntz")))
+          .select("l_partkey",
+                  _cents(F.col("l_extendedprice")
+                         * (1.0 - F.col("l_discount"))).alias("rev_c")))
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        "p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c"))
+              .otherwise(0)).cast("long").alias("promo_rev_c"),
+        F.sum("rev_c").cast("long").alias("total_rev_c"))
+    return agg.select(
+        "promo_rev_c", "total_rev_c",
+        F.floor(F.lit(1000000.0) * 100.0 * F.col("promo_rev_c")
+                / F.col("total_rev_c") + 0.5).cast("long")
+        .alias("promo_pct_x1e6"))
+
+
 TPCH_REGION = "ASIA"
 
 

@@ -143,6 +143,9 @@ AUDITS = [
     ("tpch_local_supplier_revenue",
      ["BroadcastHashJoin", "HashAggregate"],
      ["Python", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("tpch_promo_revenue",
+     ["BroadcastHashJoin", "PushedFilters", "HashAggregate"],
+     ["Python", "CartesianProduct", "SortMergeJoin"]),
     ("tpch_top_revenue",
      ["BroadcastHashJoin", "TakeOrderedAndProject", "PushedFilters"],
      ["Python", "CartesianProduct"]),
