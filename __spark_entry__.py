@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_angle_mode": q.extract_angle_mode,
         "extract_metrics_cube": q.extract_metrics_cube,
         "extract_conv_quality": q.extract_conv_quality,
+        "conversation_turn_latency": q.conversation_turn_latency,
         "doc_keyword_topk_x5": q.doc_keyword_topk_x5,
         "doc_txt_envelope": q.doc_txt_envelope,
         # --- training-data pipeline ops ---
@@ -553,6 +554,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, stitched FROM read_parquet('{_g("stitch")}')""",
         "conversation_stitch_v1": f"""
             SELECT conv_id, stitched FROM read_parquet('{_g("stitch_v1")}')""",
+        # Turn-latency golden: the pure-Python sequential pass (role/ts).
+        "conversation_turn_latency": f"""
+            SELECT conv_id, n_turns, n_user, n_assistant, n_pairs,
+                   mean_latency_ms, max_latency_ms
+            FROM read_parquet('{_g("latency")}')""",
         # Conversation-level exact dedup over the stitched golden, with
         # the same seeded-duplicate coin rebuilt from the md5 prefix.
         "conversation_dedup_seeded": f"""

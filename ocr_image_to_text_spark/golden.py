@@ -392,3 +392,69 @@ def ensure_avg_conf_golden(sf_dir: str) -> str:
                      "avg_conf_x1e9": int(math.floor(avg * 1e9 + 0.5))})
     _write(path, rows, AVG_CONF_SCHEMA)
     return path
+
+
+LATENCY_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("n_turns", pa.int64()),
+    ("n_user", pa.int64()),
+    ("n_assistant", pa.int64()),
+    ("n_pairs", pa.int64()),
+    ("mean_latency_ms", pa.int64()),
+    ("max_latency_ms", pa.int64()),
+])
+
+
+def ensure_latency_golden(sf_dir: str) -> str:
+    """Turn-latency golden: per conversation, assistant-after-user
+    response latencies from the transcript `ts` column — a plain-Python
+    sequential pass over turn_idx order (the independent restatement of
+    the Spark lag-window computation)."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    tier = tier_for_sf_dir(sf_dir)
+    path = golden_path(tier, "latency")
+    if os.path.exists(path):
+        return path
+    tpath = ensure_transcripts(tier)
+    table = _pq.read_table(tpath, columns=["conv_id", "turn_idx", "role", "ts"])
+    convs: dict = {}
+    for conv_id, turn_idx, role, ts in zip(
+        table.column("conv_id").to_pylist(),
+        table.column("turn_idx").to_pylist(),
+        table.column("role").to_pylist(),
+        table.column("ts").to_pylist(),
+    ):
+        convs.setdefault(conv_id, []).append((turn_idx, role, ts))
+    rows = []
+    for conv_id, turns in convs.items():
+        turns.sort()
+        import datetime as _dt
+
+        def _ms(t):
+            # integer epoch-micros floored to ms per OPERAND (mirrors the
+            # engine's unix_micros//1000; any whole-ms epoch/tz offset
+            # cancels in the subtraction)
+            td = t - _dt.datetime(1970, 1, 1)
+            us = (td.days * 86_400_000_000 + td.seconds * 1_000_000
+                  + td.microseconds)
+            return us // 1000
+
+        lats = []
+        for (_, pr, pts), (_, r, ts) in zip(turns, turns[1:]):
+            if pr == "user" and r == "assistant":
+                lats.append(_ms(ts) - _ms(pts))
+        rows.append({
+            "conv_id": conv_id,
+            "n_turns": len(turns),
+            "n_user": sum(1 for _, r, _t in turns if r == "user"),
+            "n_assistant": sum(1 for _, r, _t in turns if r == "assistant"),
+            "n_pairs": len(lats),
+            "mean_latency_ms": (math.floor(sum(lats) / len(lats))
+                                if lats else 0),
+            "max_latency_ms": max(lats) if lats else 0,
+        })
+    _write(path, rows, LATENCY_SCHEMA)
+    return path

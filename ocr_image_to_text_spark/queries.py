@@ -845,6 +845,39 @@ def _c4_page_filter_over(docs):
         clean.alias("clean_text"))
 
 
+def conversation_turn_latency(spark, sf_dir):
+    """Turn-taking analytics over the north-star transcript table's
+    role/ts columns (the last unused input_hint dimensions): per
+    conversation, role counts and assistant-after-user response latency
+    (mean/max ms). ONE lag window partitioned on conv_id — the same
+    per-conversation sequential order the reference's page loop implies
+    — then a conv rollup; per-operand ms floors match the events_asof
+    convention so timezone/epoch offsets cancel exactly. Oracle: the
+    pure-Python sequential pass in golden.ensure_latency_golden."""
+    from .golden import ensure_latency_golden
+
+    ensure_latency_golden(sf_dir)
+    t = (spark.read.parquet(ensure_transcripts_for_sf_dir(sf_dir))
+         .select("conv_id", "turn_idx", "role", "ts"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000)
+    lat = F.when((F.lag("role").over(w) == "user")
+                 & (F.col("role") == "assistant"),
+                 ms - F.lag(ms).over(w)).cast("long")
+    d = t.select("conv_id", "role", lat.alias("lat_ms"))
+    return (d.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("long").alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+        .cast("long").alias("n_assistant"),
+        F.count("lat_ms").cast("long").alias("n_pairs"),
+        F.coalesce(F.floor(F.sum("lat_ms") / F.count("lat_ms")), F.lit(0))
+        .cast("long").alias("mean_latency_ms"),
+        F.coalesce(F.max("lat_ms"), F.lit(0)).cast("long")
+        .alias("max_latency_ms")))
+
+
 TPCH_SHIP_CUTOFF = "2000-01-01"
 TPCH_SEGMENT = "BUILDING"
 

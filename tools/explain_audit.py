@@ -132,6 +132,10 @@ AUDITS = [
     # SortMergeJoin would betray shuffling the corpus against offsets
     ("corpus_mix_budget", ["Window", "BroadcastHashJoin"],
      ["Python", "CartesianProduct", "SortMergeJoin"]),
+    # turn latency: ONE conv-partitioned lag window + conv rollup —
+    # no join, no Python
+    ("conversation_turn_latency", ["Window", "HashAggregate"],
+     ["Python", "Join", "CartesianProduct"]),
     # TPC-H-shaped OLAP: Q1 is scan(pushed shipdate filter) + one
     # grouped aggregate; Q3 must broadcast the filtered customer side
     # and compile the top-k to TakeOrdered
