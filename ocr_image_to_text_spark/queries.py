@@ -286,8 +286,27 @@ def _entities_over(docs):
 
 
 def doc_entities(spark, sf_dir):
-    return _entities_over(_docs(spark, sf_dir))
+    """X7 entity extraction (ocr_app/utils/text_utils.py:191-231) over
+    the organic corpus UNION a deterministically seeded twin (doc_id
+    offset by ENTITY_SEED_OFFSET). The driver's synthetic documents
+    carry no natural entities, so the organic half alone certified
+    nothing (0 rows both sides, VERDICT r3 wrong-#2); the seeded half
+    guarantees >0 rows per pattern while the organic half still scans
+    the raw corpus, so a regex that over-matches clean prose now fails
+    the hash too."""
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        (F.col("doc_id") + F.lit(ENTITY_SEED_OFFSET)).cast("long")
+        .alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.format_string(ENTITY_SEED_FMT, F.col("doc_id"),
+                            F.col("doc_id"))).alias("text"))
+    organic = docs.select("doc_id", "text")
+    return _entities_over(organic.unionByName(seeded))
 
+
+ENTITY_SEED_OFFSET = 10_000_000
 
 # Deterministic per-doc suffix exercising ALL FIVE X7 patterns
 # (ocr_app/utils/text_utils.py:208-230): date slash + date ISO + date
@@ -915,10 +934,12 @@ def tpch_pricing_summary(spark, sf_dir):
 def tpch_top_revenue(spark, sf_dir, k: int = 10):
     """TPC-H Q3-shaped shipping-priority query: customer ⨝ orders ⨝
     lineitem with the segment/date predicates, revenue per order,
-    top-k. Join strategy is the point at scale: the filtered customer
-    side (hundreds of rows) is BROADCAST, orders⨝lineitem shuffles on
-    the orderkey both sides already produce, and the top-k compiles to
-    TakeOrderedAndProject. Revenue is per-row floored cents (integer
+    top-k. Join strategy is the point at scale: customer grows linearly
+    with scale factor, so the customer join carries NO broadcast hint —
+    it shuffle-joins on custkey (AQE downgrades it to broadcast at
+    runtime only when the filtered side really fits), orders⨝lineitem
+    shuffles on the orderkey both sides already produce, and the top-k
+    compiles to TakeOrderedAndProject. Revenue is per-row floored cents (integer
     sums). Output: (o_orderkey, o_orderdate, revenue_c)."""
     cust = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
             .filter(F.col("c_mktsegment") == TPCH_SEGMENT)
@@ -934,8 +955,11 @@ def tpch_top_revenue(spark, sf_dir, k: int = 10):
                   _cents(F.col("l_extendedprice")
                          * (1.0 - F.col("l_discount"))).alias("rev_c")))
     order_key = [F.desc("revenue_c"), F.asc("o_orderkey")]
-    top = (orders.join(F.broadcast(cust),
-                       orders.o_custkey == cust.c_custkey)
+    # customer grows linearly with scale factor (150k rows/SF — multi-TB
+    # at a 100 TB warehouse), so no broadcast hint: shuffle-join on
+    # custkey and let AQE downgrade to broadcast when the filtered side
+    # is actually under the threshold at runtime.
+    top = (orders.join(cust, orders.o_custkey == cust.c_custkey)
            .join(li, orders.o_orderkey == li.l_orderkey)
            .groupBy("o_orderkey", "o_orderdate")
            .agg(F.sum("rev_c").cast("long").alias("revenue_c"))
@@ -984,11 +1008,13 @@ def tpch_local_supplier_revenue(spark, sf_dir):
     """TPC-H Q5-shaped local-supplier revenue: the six-way join
     (customer ⨝ orders ⨝ lineitem ⨝ supplier ⨝ nation ⨝ region) with
     the local-supplier constraint c_nationkey = s_nationkey, revenue
-    per nation in one region. The join-planning exhibit: region/nation/
-    supplier/customer are all broadcast-sized dims (Catalyst broadcasts
-    every one under the threshold; the only real shuffle is
-    orders ⨝ lineitem on orderkey), and the dim filters prune before
-    the fact scan joins. Revenue is per-row floored cents.
+    per nation in one region. The join-planning exhibit: region/nation
+    are FIXED-size dims (5 / 25 rows at every scale factor) and keep
+    explicit broadcast hints; customer and supplier grow linearly with
+    scale factor (150k / 10k rows per SF — multi-TB at a 100 TB
+    warehouse), so they shuffle-join on their keys and AQE decides at
+    runtime whether the region-pruned supplier side still fits under
+    the broadcast threshold. Revenue is per-row floored cents.
     Output: (n_name, revenue_c)."""
     p = lambda t: os.path.join(sf_dir, f"{t}.parquet")  # noqa: E731
     region = (spark.read.parquet(p("region"))
@@ -1010,9 +1036,8 @@ def tpch_local_supplier_revenue(spark, sf_dir):
                   _cents(F.col("l_extendedprice")
                          * (1.0 - F.col("l_discount"))).alias("rev_c")))
     joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(customer),
-                    orders.o_custkey == customer.c_custkey)
-              .join(F.broadcast(supplier),
+              .join(customer, orders.o_custkey == customer.c_custkey)
+              .join(supplier,
                     (li.l_suppkey == supplier.s_suppkey)
                     & (customer.c_nationkey == supplier.s_nationkey)))
     return (joined.groupBy("n_name")
