@@ -23,10 +23,17 @@ import time
 
 
 def _bench_query(spark, fn, sf_dir: str) -> float:
+    from ocr_image_to_text_spark.cachectl import release_caches
+
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    # Library-level caches are per-query scratch: release them inside the
+    # timed region (each query pays its own cache cost) so a long bench
+    # session's block store stays bounded and no query inherits warmth.
+    release_caches()
+    return elapsed
 
 
 def main() -> None:

@@ -410,9 +410,24 @@ def ensure_latency_golden(sf_dir: str) -> str:
     response latencies from the transcript `ts` column — a plain-Python
     sequential pass over turn_idx order (the independent restatement of
     the Spark lag-window computation)."""
+    import datetime as _dt
     import math
 
     import pyarrow.parquet as _pq
+
+    _epoch = _dt.datetime(1970, 1, 1)
+
+    def _ms(t):
+        # integer epoch-micros floored to ms per OPERAND (mirrors the
+        # engine's unix_micros//1000; any whole-ms epoch/tz offset
+        # cancels in the subtraction). Normalize tz-aware timestamps to
+        # naive UTC so the subtraction against the naive epoch is valid.
+        if t.tzinfo is not None:
+            t = t.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        td = t - _epoch
+        us = (td.days * 86_400_000_000 + td.seconds * 1_000_000
+              + td.microseconds)
+        return us // 1000
 
     tier = tier_for_sf_dir(sf_dir)
     path = golden_path(tier, "latency")
@@ -431,17 +446,6 @@ def ensure_latency_golden(sf_dir: str) -> str:
     rows = []
     for conv_id, turns in convs.items():
         turns.sort()
-        import datetime as _dt
-
-        def _ms(t):
-            # integer epoch-micros floored to ms per OPERAND (mirrors the
-            # engine's unix_micros//1000; any whole-ms epoch/tz offset
-            # cancels in the subtraction)
-            td = t - _dt.datetime(1970, 1, 1)
-            us = (td.days * 86_400_000_000 + td.seconds * 1_000_000
-                  + td.microseconds)
-            return us // 1000
-
         lats = []
         for (_, pr, pts), (_, r, ts) in zip(turns, turns[1:]):
             if pr == "user" and r == "assistant":

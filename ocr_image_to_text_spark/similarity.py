@@ -18,6 +18,8 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cachectl import tracked_cache
+
 
 EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
 
@@ -169,7 +171,8 @@ def ivf_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
     # (via members) BOTH sides of the in-cell self-join — cache it and
     # the assigned frame so the norm fold and the argmin assignment run
     # once each (shared-frame rule; was 18 parquet scans uncached)
-    base = with_norm(emb, dim=dim).select("vec_id", "_e", "_norm").cache()
+    base = tracked_cache(
+        with_norm(emb, dim=dim).select("vec_id", "_e", "_norm"))
     cent = base.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("_e").alias("_ce"))
 
@@ -276,7 +279,7 @@ def semdedup_prune(emb: DataFrame, n_cells: int = 16, threshold: float = 0.35,
            .agg(F.min(F.struct("d", "cid")).alias("m"))
            .select("vec_id", F.col("m.cid").alias("cell"),
                    F.col("m.d").alias("dcent")))
-    members = base.join(asn, "vec_id").cache()
+    members = tracked_cache(base.join(asn, "vec_id"))
 
     a = members.select("cell", "vec_id", F.col("_e").alias("_ea"),
                        F.col("_norm").alias("_na"), F.col("dcent").alias("da"))

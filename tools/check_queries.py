@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from ocr_image_to_text_spark.cachectl import release_caches  # noqa: E402
 from ocr_image_to_text_spark.session import get_spark  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -53,6 +54,8 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             continue
+        finally:
+            release_caches()  # bounded block store across the 88-query sweep
         t1 = time.time()
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {t1-t0:.1f}s)")
