@@ -73,13 +73,35 @@ def main() -> None:
         ("events_sessions", q.events_sessions),
     ]
 
+    # Position-bias hardening (VERDICT r3 next-#7): the host is
+    # credit-throttled, so a query's measured time drifts with its
+    # POSITION in the run (doc_quality_v2 measured 0.8-13.2 s for the
+    # same map-only plan depending on how drained the budget was).
+    # Run the suite twice with the second pass rotated by half the
+    # list, release all session caches between passes (so pass 2 is
+    # cache-cold, not artificially warm), and report the per-query MIN
+    # — each query gets one early-sequence and one late-sequence slot,
+    # and min-of-2 discards whichever slot the throttle hit.
+    from ocr_image_to_text_spark.cachectl import release_all
+
+    rot = len(headline) // 2
+    orders = [headline, headline[rot:] + headline[:rot]]
+    passes: list[dict[str, float]] = []
+    for order in orders:
+        release_all()
+        t: dict[str, float] = {}
+        for name, fn in order:
+            try:
+                t[name] = round(_bench_query(spark, fn, sf_dir), 3)
+            except Exception as exc:  # one broken query must not zero the bench
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                t[name] = -1.0
+        passes.append(t)
+
     timings: dict[str, float] = {}
-    for name, fn in headline:
-        try:
-            timings[name] = round(_bench_query(spark, fn, sf_dir), 3)
-        except Exception as exc:  # a broken query must not zero the whole bench
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+    for name, _ in headline:
+        vals = [p[name] for p in passes if p.get(name, -1.0) > 0]
+        timings[name] = round(min(vals), 3) if vals else -1.0
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
     extract_sec = timings.get("extract_rollup", 0.0)
@@ -94,6 +116,13 @@ def main() -> None:
         "turns_per_sec": turns_per_sec,
         "n_turns": n_turns,
         "cpus": cpus,
+        "order_meta": {
+            "passes": 2,
+            "rotation": rot,
+            "aggregation": "per-query min of 2 rotated passes",
+            "pass_totals": [round(sum(v for v in p.values() if v > 0), 3)
+                            for p in passes],
+        },
     }))
     spark.stop()
 
