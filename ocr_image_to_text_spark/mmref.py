@@ -115,20 +115,63 @@ def image_features_py(payload: bytes) -> dict:
             "mean_b": sb / n_px, "phash": phash}
 
 
+def _rle8_rows_py(raster: bytes, w: int, h: int, palette: bytes) -> list:
+    """BI_RLE8 raster → rows of (r,g,b), stdlib loops only (independent
+    restatement of multimodal._rle8_undo): encoded (count,index) runs,
+    absolute mode (word-aligned), EOL/EOB/delta escapes, bottom-up rows,
+    unwritten pixels = palette index 0."""
+    idx = [[0] * w for _ in range(h)]
+    x, y = 0, h - 1
+    pos, n = 0, len(raster)
+    while pos + 1 < n and y >= 0:
+        cnt = raster[pos]
+        pos += 1
+        if cnt == 0:
+            op = raster[pos]
+            pos += 1
+            if op == 0:
+                x, y = 0, y - 1
+            elif op == 1:
+                break
+            elif op == 2:
+                x += raster[pos]
+                y -= raster[pos + 1]
+                pos += 2
+            else:
+                for j in range(op):
+                    if x + j < w:
+                        idx[y][x + j] = raster[pos + j]
+                pos += op + (op % 2)
+                x += op
+        else:
+            v = raster[pos]
+            pos += 1
+            for j in range(min(cnt, w - x)):
+                idx[y][x + j] = v
+            x += cnt
+    # palette is BGRX quads
+    lut = [(palette[4 * i + 2], palette[4 * i + 1], palette[4 * i])
+           for i in range(min(256, len(palette) // 4))]
+    return [[lut[v] for v in row] for row in idx]
+
+
 def decode_avi_py(payload: bytes) -> tuple[list, int, int, int]:
-    """Uncompressed RIFF/AVI → (frames as rows of (r,g,b), w, h, usec).
+    """RIFF/AVI → (frames as rows of (r,g,b), w, h, usec).
 
     Stdlib-only restatement of multimodal.decode_avi: RIFF chunk walk,
-    avih for timing/dims, 'vids' strh sanity, '00db' DIB rasters (BGR
-    bottom-up, 4-byte row padding) decoded with plain loops."""
+    avih for timing/dims, 'vids' strh sanity, '00db' BI_RGB DIB rasters
+    (BGR bottom-up, 4-byte row padding) and '00dc' BI_RLE8 rasters
+    (8-bit palette-indexed) decoded with plain loops."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     usec = w = h = None
+    comp = 0
+    palette = b""
     vids_ok = False
     frames = []
 
     def scan(pos: int, end: int) -> None:
-        nonlocal usec, w, h, vids_ok
+        nonlocal usec, w, h, vids_ok, comp, palette
         while pos + 8 <= end:
             fcc = payload[pos:pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -142,24 +185,31 @@ def decode_avi_py(payload: bytes) -> tuple[list, int, int, int]:
             elif fcc == b"strh":
                 ftype, handler = struct.unpack_from("<4s4s", payload, s)
                 if ftype == b"vids":
-                    if handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+                    if handler not in (b"DIB ", b"\x00\x00\x00\x00",
+                                       b"RGB ", b"MRLE", b"mrle"):
                         raise ValueError("unsupported codec")
                     vids_ok = True
-            elif fcc == b"strf" and vids_ok:
+            elif fcc == b"strf" and vids_ok and not frames:
                 _sz, _bw, _bh, _pl, bpp, comp = struct.unpack_from(
                     "<IiiHHI", payload, s)
-                if bpp != 24 or comp != 0:
+                if (bpp, comp) == (8, 1):
+                    palette = payload[s + 40:s + 40 + 1024]
+                elif (bpp, comp) != (24, 0):
                     raise ValueError("unsupported DIB")
             elif fcc in (b"00db", b"00dc"):
-                stride = w * 3 + (4 - (w * 3) % 4) % 4
-                img = [None] * h
-                for i in range(h):
-                    base = s + i * stride
-                    img[h - 1 - i] = [
-                        (payload[base + 3 * x + 2], payload[base + 3 * x + 1],
-                         payload[base + 3 * x])
-                        for x in range(w)]
-                frames.append(img)
+                if comp == 1:
+                    frames.append(_rle8_rows_py(payload[s:e], w, h, palette))
+                else:
+                    stride = w * 3 + (4 - (w * 3) % 4) % 4
+                    img = [None] * h
+                    for i in range(h):
+                        base = s + i * stride
+                        img[h - 1 - i] = [
+                            (payload[base + 3 * x + 2],
+                             payload[base + 3 * x + 1],
+                             payload[base + 3 * x])
+                            for x in range(w)]
+                    frames.append(img)
             pos = e + (size % 2)
 
     scan(12, len(payload))

@@ -12,10 +12,13 @@ decodable from first principles are real):
     here with struct/numpy. Unknown magics fall back to the clearly
     marked deterministic stub.
   * audio — REAL decode for PCM16 WAV via the stdlib `wave` module.
-  * video — REAL decode for uncompressed RIFF/AVI ('vids'/'DIB ', 24-bit
-    BI_RGB '00db' frames) parsed from first principles like the BMP/WAV
-    codecs; compressed codecs (which would need ffmpeg) fall back to the
-    clearly marked deterministic stub in frame_sample.
+  * video — REAL decode for RIFF/AVI parsed from first principles like
+    the BMP/WAV codecs: uncompressed 'vids'/'DIB ' 24-bit BI_RGB '00db'
+    frames AND BI_RLE8-compressed 8-bit palette frames ('MRLE' '00dc'
+    chunks — run-length encoding decoded in pure numpy/stdlib, no
+    ffmpeg). Codecs beyond those (H.264 etc., which genuinely need
+    ffmpeg) fall back to the clearly marked deterministic stub in
+    frame_sample.
 
 Scale notes: payloads dominate row size, so batches are kept small via a
 pre-UDF repartition on media_id and `spark.sql.execution.arrow.
@@ -344,11 +347,93 @@ def encode_avi(frames: list[np.ndarray], fps: int = 4) -> bytes:
     return _chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
-def decode_avi(payload: bytes) -> tuple[list[np.ndarray], int]:
-    """Decode uncompressed AVI → (RGB frames, micro-sec per frame).
+def rle8_encode(idx: np.ndarray) -> bytes:
+    """BI_RLE8-encode one 8-bit indexed frame: bottom-up rows of encoded
+    (count, index) runs, EOL escape (0,0) per row, EOB escape (0,1)
+    terminating the raster — the Windows BITMAPINFOHEADER biCompression=1
+    wire format (public spec; same family as the BMP/DIB raster above)."""
+    h, w = idx.shape
+    out = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = idx[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            out += bytes((run, int(row[x])))
+            x += run
+        out += b"\x00\x00"  # end of line
+    out[-2:] = b"\x00\x01"  # final EOL becomes end of bitmap
+    return bytes(out)
 
-    Accepts exactly the subset encode_avi writes (and any other writer of
-    plain 'vids'/BI_RGB 24-bit DIB AVIs); anything else raises."""
+
+def _rle8_undo(raster: bytes, w: int, h: int, palette: bytes) -> np.ndarray:
+    """Decode a BI_RLE8 raster to RGB via the strf palette (BGRX quads).
+    Handles encoded runs, absolute mode (word-aligned), EOL/EOB and
+    delta escapes; pixels never written stay index 0 per the spec."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x, y = 0, h - 1  # bottom-up
+    pos, n = 0, len(raster)
+    while pos + 1 < n and y >= 0:
+        cnt = raster[pos]
+        pos += 1
+        if cnt == 0:
+            op = raster[pos]
+            pos += 1
+            if op == 0:  # end of line
+                x, y = 0, y - 1
+            elif op == 1:  # end of bitmap
+                break
+            elif op == 2:  # delta (dx, dy)
+                x += raster[pos]
+                y -= raster[pos + 1]
+                pos += 2
+            else:  # absolute mode: op literal indices, word-aligned
+                end = min(x + op, w)
+                idx[y, x:end] = np.frombuffer(
+                    raster, dtype=np.uint8, count=end - x, offset=pos)
+                pos += op + (op % 2)
+                x += op
+        else:
+            end = min(x + cnt, w)
+            idx[y, x:end] = raster[pos]
+            pos += 1
+            x += cnt
+    pal = np.frombuffer(palette, dtype=np.uint8)[:1024].reshape(-1, 4)
+    return pal[idx][:, :, [2, 1, 0]].copy()  # BGRX quads -> RGB
+
+
+GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i, 0))
+
+
+def encode_avi_rle8(frames_idx: list[np.ndarray], fps: int = 4,
+                    palette: bytes = GRAY_PALETTE) -> bytes:
+    """Minimal RLE8-compressed AVI writer ('vids'/'MRLE', 8-bit
+    BI_RLE8 + 256-entry palette in strf, frames in '00dc' chunks)."""
+    h, w = frames_idx[0].shape
+    usec = 1_000_000 // fps
+    rasters = [rle8_encode(f) for f in frames_idx]
+    buf = max(len(r) for r in rasters)
+    avih = struct.pack("<14I", usec, buf * fps, 0, 0, len(rasters),
+                       0, 1, buf, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIII4h", b"vids", b"MRLE", 0, 0, 0, 0,
+                       1, fps, 0, len(rasters), buf, 0xFFFFFFFF, 0,
+                       0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, buf,
+                       2835, 2835, 256, 0) + palette
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    movi = _list(b"movi", b"".join(_chunk(b"00dc", r) for r in rasters))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi(payload: bytes) -> tuple[list[np.ndarray], int]:
+    """Decode AVI → (RGB frames, micro-sec per frame).
+
+    Accepts exactly the subsets encode_avi / encode_avi_rle8 write (and
+    any other writer of plain 'vids' BI_RGB 24-bit or BI_RLE8 8-bit DIB
+    AVIs); anything else raises."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI")
 
@@ -361,11 +446,13 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], int]:
             pos = body_start + size + (size % 2)
 
     usec = w = h = None
+    comp = 0
+    palette = b""
     frames: list[np.ndarray] = []
     vids_ok = False
 
     def scan(pos: int, end: int) -> None:
-        nonlocal usec, w, h, vids_ok
+        nonlocal usec, w, h, vids_ok, comp, palette
         for fcc, s, e in walk(payload, pos, end):
             if fcc == b"LIST":
                 scan(s + 4, e)
@@ -375,16 +462,21 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], int]:
             elif fcc == b"strh":
                 ftype, handler = struct.unpack_from("<4s4s", payload, s)
                 if ftype == b"vids":
-                    if handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+                    if handler not in (b"DIB ", b"\x00\x00\x00\x00",
+                                       b"RGB ", b"MRLE", b"mrle"):
                         raise ValueError(f"unsupported codec {handler!r}")
                     vids_ok = True
             elif fcc == b"strf" and vids_ok and not frames:
                 _sz, bw, bh, _pl, bpp, comp = struct.unpack_from(
                     "<IiiHHI", payload, s)
-                if bpp != 24 or comp != 0:
+                if (bpp, comp) == (8, 1):  # BI_RLE8: palette follows header
+                    palette = payload[s + 40:s + 40 + 1024]
+                elif (bpp, comp) != (24, 0):
                     raise ValueError(f"unsupported DIB (bpp={bpp}, comp={comp})")
             elif fcc in (b"00db", b"00dc"):
-                frames.append(_dib_undo(payload[s:e], w, h))
+                raster = payload[s:e]
+                frames.append(_rle8_undo(raster, w, h, palette) if comp == 1
+                              else _dib_undo(raster, w, h))
 
     scan(12, len(payload))
     if usec is None or not vids_ok:
@@ -520,6 +612,16 @@ def synthetic_image(seed: bytes, w: int, h: int) -> np.ndarray:
     return np.clip(noise // 2 + gx, 0, 255).astype(np.uint8)
 
 
+def synthetic_indexed_frame(seed: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic 8-bit indexed frame made of 8×8 constant blocks —
+    long horizontal runs, the natural shape for an RLE8 fixture."""
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    grid = _rng_bytes(seed, bw * bh).reshape(bh, bw)
+    by = np.arange(h) // 8
+    bx = np.arange(w) // 8
+    return grid[np.ix_(by, bx)].astype(np.uint8)
+
+
 def synthetic_media_rows(n: int = 60, seed: int = 42) -> list:
     """Deterministic media rows (no external data, no Spark).
 
@@ -552,10 +654,18 @@ def synthetic_media_rows(n: int = 60, seed: int = 42) -> list:
         else:
             fps = 4
             n_frames = max(dur * fps // 1000, 1)
-            frames = [synthetic_image(md5_seed + f.to_bytes(4, "big"), w, h)
-                      for f in range(n_frames)]
-            payload = encode_avi(frames, fps)
-            codec = "avi"
+            if i % 6 == 5:  # every other video: RLE8-compressed frames
+                idx_frames = [synthetic_indexed_frame(
+                    md5_seed + f.to_bytes(4, "big"), w, h)
+                    for f in range(n_frames)]
+                payload = encode_avi_rle8(idx_frames, fps)
+                codec = "avi-rle8"
+            else:
+                frames = [synthetic_image(md5_seed + f.to_bytes(4, "big"),
+                                          w, h)
+                          for f in range(n_frames)]
+                payload = encode_avi(frames, fps)
+                codec = "avi"
         rows.append((i, kind, bytearray(payload), (w, h, dur, codec)))
     return rows
 

@@ -1,8 +1,9 @@
 """Multimodal: real BMP/PPM/WAV codecs + Spark plumbing.
 
-Image (BMP/PPM) and audio (WAV) decode are REAL — pinned by byte-exact
-encode→decode roundtrips below. Video decode stays a documented stub; its
-tests pin the fan-out contract only. The Spark-side tests pin schemas,
+Image (BMP/PPM), audio (WAV) and video (AVI: BI_RGB 24-bit + BI_RLE8
+8-bit palette) decode are REAL — pinned by byte-exact encode→decode
+roundtrips below, plus a hand-built raster covering the RLE8 escape
+modes our encoder never emits. The Spark-side tests pin schemas,
 per-kind filtering, and run-to-run determinism across partitionings.
 """
 
@@ -121,8 +122,9 @@ def test_video_frame_features_real_decode(spark):
     vids = [r for r in mm.synthetic_media_rows(12) if r[1] == "video"]
     assert len(vids) > 0
     n_rows = 0
+    codecs = {codec for _, _, _, (_w, _h, _d, codec) in vids}
+    assert codecs == {"avi", "avi-rle8"}  # both container variants exercised
     for mid, _kind, payload, (_w, _h, dur, codec) in vids:
-        assert codec == "avi"
         feats = mmref.video_frame_features_py(bytes(payload))
         assert len(feats) == max(dur * 4 // 1000, 1)
         for f in feats:
@@ -158,3 +160,62 @@ def test_audio_features(spark):
     for r in out:
         assert 0.0 < r.rms < 1.0
         assert r.zero_cross > 0
+
+
+def test_avi_rle8_roundtrip_exact():
+    """encode_avi_rle8 → decode_avi is the identity through the gray
+    palette (index v → (v,v,v)), including odd widths where runs cross
+    no word boundary cleanly."""
+    import numpy as np
+
+    for w, h in ((32, 16), (33, 21), (10, 9)):
+        idx = [mm.synthetic_indexed_frame(bytes([i, w]) * 8, w, h)
+               for i in range(4)]
+        payload = mm.encode_avi_rle8(idx, fps=4)
+        dec, usec = mm.decode_avi(payload)
+        assert usec == 250_000 and len(dec) == 4
+        for a, b in zip(idx, dec):
+            expect = np.stack([a, a, a], axis=-1)
+            assert np.array_equal(expect, b)
+
+
+def test_rle8_escape_modes_decode():
+    """Hand-built raster exercising absolute mode, delta and early EOB —
+    the escapes our encoder never emits but the spec allows."""
+    import numpy as np
+
+    # 4x3 frame, bottom-up: row y=2 via absolute mode (3 literals + pad),
+    # then EOL; row y=1 starts, delta skips to y=0; run fills y=0.
+    raster = bytes([
+        0, 3, 7, 8, 9, 0,      # absolute: 3 literals, word pad
+        1, 5,                  # run: one more pixel (x=3) value 5
+        0, 0,                  # EOL -> y=1
+        0, 2, 1, 1,            # delta dx=1 dy=1 -> x=1, y=0
+        3, 2,                  # run of 3 value 2 at y=0
+        0, 1,                  # EOB
+    ])
+    img = mm._rle8_undo(raster, 4, 3, mm.GRAY_PALETTE)
+    idx = img[:, :, 0]  # gray palette: r == index
+    assert idx.tolist() == [
+        [0, 2, 2, 2],   # y=0 (delta skipped x=0)
+        [0, 0, 0, 0],   # y=1 never written
+        [7, 8, 9, 5],   # y=2 (bottom row)
+    ]
+    # stdlib twin agrees exactly
+    from ocr_image_to_text_spark import mmref
+
+    rows = mmref._rle8_rows_py(raster, 4, 3, mm.GRAY_PALETTE)
+    assert rows == [[tuple(px) for px in row] for row in img]
+
+
+def test_avi_rle8_stdlib_twin_agrees():
+    from ocr_image_to_text_spark import mmref
+
+    idx = [mm.synthetic_indexed_frame(bytes([i]) * 16, 33, 21)
+           for i in range(3)]
+    payload = mm.encode_avi_rle8(idx, fps=4)
+    pf, w, h, usec = mmref.decode_avi_py(payload)
+    dec, _ = mm.decode_avi(payload)
+    assert (w, h, usec) == (33, 21, 250_000) and len(pf) == 3
+    for a, b in zip(dec, pf):
+        assert b == [[tuple(px) for px in row] for row in a]
