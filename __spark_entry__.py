@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": q.doc_bm25_topk,
         "chunk_l2_topk": q.chunk_l2_topk,
         "chunk_cosine_topk": q.chunk_cosine_topk,
+        # new in r4: Lloyd-refined coarse quantizer (oracle-certified)
+        "ann_ivf_lloyd_topk": q.ann_ivf_lloyd_topk,
         # --- extraction pipeline (SURVEY §2.2/2.4/2.5/2.6, north_star;
         #     driver-green in CORRECTNESS_r01-r03) ---
         "extract_rollup": q.extract_rollup,
@@ -894,6 +896,54 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": f"""
             WITH {_EMB_NORM},
             c AS (SELECT vec_id cid, e ce FROM n WHERE vec_id < 16),
+            ad AS (SELECT b.vec_id, c.cid,
+                     round(list_sum(list_transform(generate_series(1, len(b.e)),
+                           i -> (b.e[i] - c.ce[i]) * (b.e[i] - c.ce[i]))), 9) d
+                   FROM n b, c),
+            asn AS (SELECT vec_id, cid cell FROM
+                      (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cid) rn FROM ad)
+                    WHERE rn = 1),
+            probe AS (SELECT vec_id query_id, cid cell FROM
+                        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cid) rn FROM ad WHERE vec_id < 20)
+                      WHERE rn <= 4),
+            j AS (SELECT p.query_id, b.vec_id neighbor_id,
+                    round(list_sum(list_transform(generate_series(1, len(b.e)),
+                          i -> b.e[i] * q.e[i])) / (b.nrm * q.nrm), 9) cos_r
+                  FROM probe p JOIN asn a ON a.cell = p.cell
+                  JOIN n b ON b.vec_id = a.vec_id
+                  JOIN n q ON q.vec_id = p.query_id
+                  WHERE b.vec_id != p.query_id)
+            SELECT cast(query_id as bigint) query_id, cast(rank as bigint) rank,
+                   cast(neighbor_id as bigint) neighbor_id,
+                   cast(floor(cos_r * 1000000000 + 0.5) as bigint) cos_x1e9
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_r DESC, neighbor_id) rank FROM j)
+            WHERE rank <= 3""",
+        # IVF with ONE Lloyd refinement: the twin restates the k-means
+        # step exactly — integer micro-unit sums (floor(e·1e6) longs),
+        # floor(sum/cnt)/1e6 exact means, empty cells keep the seed.
+        "ann_ivf_lloyd_topk": f"""
+            WITH {_EMB_NORM},
+            seed AS (SELECT vec_id cid, e ce FROM n WHERE vec_id < 16),
+            ad0 AS (SELECT b.vec_id, s.cid,
+                     round(list_sum(list_transform(generate_series(1, len(b.e)),
+                           i -> (b.e[i] - s.ce[i]) * (b.e[i] - s.ce[i]))), 9) d
+                    FROM n b, seed s),
+            asn0 AS (SELECT vec_id, cid cell FROM
+                       (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d, cid) rn FROM ad0)
+                     WHERE rn = 1),
+            ex AS (SELECT a.cell, unnest(generate_series(1, len(b.e))) i, b.e
+                   FROM asn0 a JOIN n b USING (vec_id)),
+            cs AS (SELECT cell, i, sum(cast(floor(e[i] * 1000000.0) as bigint)) s,
+                          count(*) cnt
+                   FROM ex GROUP BY 1, 2),
+            newc AS (SELECT cell cid, list(floor(s / cnt) / 1000000.0 ORDER BY i) ce
+                     FROM cs GROUP BY cell),
+            c AS (SELECT seed.cid, coalesce(newc.ce, seed.ce) ce
+                  FROM seed LEFT JOIN newc USING (cid)),
             ad AS (SELECT b.vec_id, c.cid,
                      round(list_sum(list_transform(generate_series(1, len(b.e)),
                            i -> (b.e[i] - c.ce[i]) * (b.e[i] - c.ce[i]))), 9) d

@@ -703,6 +703,18 @@ def ann_ivf_topk(spark, sf_dir):
                                dim=dim)
 
 
+def ann_ivf_lloyd_topk(spark, sf_dir):
+    """IVF-Flat ANN with ONE Lloyd refinement of the coarse quantizer
+    (similarity.coarse_centroids, n_iters=1): integer-micro-unit cell
+    means keep every refined centroid bit-identical to the DuckDB twin,
+    so this query oracle-certifies the distributed k-means step itself —
+    assignment argmin, per-cell exact mean, empty-cell carry-over — not
+    just the probe/re-rank around it."""
+    emb, dim = _emb(spark, sf_dir)
+    return similarity.ivf_topk(emb, n_queries=20, k=3, n_cells=16, n_probe=4,
+                               dim=dim, n_iters=1)
+
+
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: banded blocking over the 32-bit signature
     (4 bands × 8 bits), Hamming ≤ 3 verify — lossless by pigeonhole, so the

@@ -140,16 +140,74 @@ def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.35,
     )
 
 
+def _centroid_dist(dim: int):
+    """Squared L2 between `_e` and `_ce`: the same ascending-dimension
+    left-assoc fold as the DuckDB twins, rounded to 9 decimals so cell
+    assignment can never disagree across engines."""
+    acc = F.lit(0.0)
+    for d in range(dim):
+        t = F.col("_e").getItem(d) - F.col("_ce").getItem(d)
+        acc = acc + t * t
+    return F.round(acc, 9)
+
+
+def coarse_centroids(base: DataFrame, n_cells: int, dim: int = EMB_DIM,
+                     n_iters: int = 0) -> DataFrame:
+    """Coarse quantizer centroids: (cid, _ce).
+
+    Seeds are the embeddings of the n_cells smallest vec_ids — fully
+    deterministic. `n_iters` Lloyd refinements improve cell balance (the
+    thing that bounds the in-cell O(n²) of ivf_topk / semdedup_prune at
+    scale): each iteration is one broadcast nearest-centroid assignment
+    (argmin shuffles (vec_id, struct) rows, never vectors), one equi-join
+    of cell ids back onto the corpus (the same join ivf_topk pays for its
+    final assignment), and one per-cell mean whose map-side partials
+    reduce to ≤ n_cells × dim longs.
+
+    Cross-engine exactness: a floating mean is summation-order-dependent,
+    so means are taken in integer micro-units — sum of floor(e[d]·1e6)
+    per cell is an exact long, floor(sum/cnt) is exact in double (both
+    operands < 2^53 and a non-integral quotient's fractional part ≥
+    1/cnt, far above double epsilon), and the /1e6 rescale is one exact
+    IEEE division — so DuckDB reproduces every refined centroid
+    bit-for-bit. Cells left empty by an iteration keep their previous
+    centroid (k-means convention)."""
+    cent = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("_e").alias("_ce"))
+    for _ in range(n_iters):
+        ad = (base.select("vec_id", "_e").crossJoin(F.broadcast(cent))
+              .select("vec_id", "cid", _centroid_dist(dim).alias("d")))
+        asn = (ad.groupBy("vec_id")
+               .agg(F.min(F.struct("d", "cid")).alias("m"))
+               .select("vec_id", F.col("m.cid").alias("cell")))
+        mem = base.select("vec_id", "_e").join(asn, "vec_id")
+        sums = mem.groupBy("cell").agg(
+            F.count("*").alias("cnt"),
+            *[F.sum(F.floor(F.col("_e").getItem(d) * F.lit(1000000.0))
+                    .cast("long")).alias(f"s{d}") for d in range(dim)])
+        new_ce = F.array(*[
+            (F.floor(F.col(f"s{d}") / F.col("cnt")) / F.lit(1000000.0))
+            .cast("double") for d in range(dim)])
+        refined = sums.select(F.col("cell").alias("cid"),
+                              new_ce.alias("_nce"))
+        cent = (cent.join(refined, "cid", "left")
+                .select("cid", F.coalesce("_nce", "_ce").alias("_ce")))
+    return cent
+
+
 def ivf_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
-             n_cells: int = 16, n_probe: int = 4, dim: int = EMB_DIM) -> DataFrame:
+             n_cells: int = 16, n_probe: int = 4, dim: int = EMB_DIM,
+             n_iters: int = 0) -> DataFrame:
     """IVF-Flat approximate nearest neighbors (Faiss IndexIVFFlat shape):
     coarse quantizer → inverted cells → probe the n_probe nearest cells →
     exact cosine re-rank inside the probed cells.
 
-    Coarse centroids are the embeddings of the n_cells smallest vec_ids —
-    a deterministic stand-in for k-means training (the quantizer's QUALITY
-    is a model boundary like the text encoder; the distributed structure
-    is what this operator ports). The centroid table is tiny by
+    Coarse centroids come from `coarse_centroids`: deterministic seeds
+    (embeddings of the n_cells smallest vec_ids), optionally refined by
+    `n_iters` Lloyd iterations with integer-exact micro-unit means —
+    n_iters=0 keeps the seed quantizer (quality is a model boundary),
+    n_iters≥1 improves cell balance, the thing that bounds the in-cell
+    work at scale. The centroid table is tiny by
     construction (√n cells at corpus scale) and is BROADCAST: assignment
     is a map-side broadcast nested-loop join + a partial-aggregated argmin
     whose shuffle rows are (vec_id, struct(d, cid)) — never the vectors —
@@ -173,17 +231,10 @@ def ivf_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
     # once each (shared-frame rule; was 18 parquet scans uncached)
     base = tracked_cache(
         with_norm(emb, dim=dim).select("vec_id", "_e", "_norm"))
-    cent = base.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("_e").alias("_ce"))
-
-    acc = F.lit(0.0)
-    for d in range(dim):
-        t = F.col("_e").getItem(d) - F.col("_ce").getItem(d)
-        acc = acc + t * t
-    dist = F.round(acc, 9)
+    cent = coarse_centroids(base, n_cells, dim, n_iters)
 
     ad = (base.select("vec_id", "_e").crossJoin(F.broadcast(cent))
-          .select("vec_id", "cid", dist.alias("d")))
+          .select("vec_id", "cid", _centroid_dist(dim).alias("d")))
     asn = (ad.groupBy("vec_id")
            .agg(F.min(F.struct("d", "cid")).alias("m"))
            .select("vec_id", F.col("m.cid").alias("cell")))
@@ -238,7 +289,7 @@ def _embed_term(text_col, d: int):
 
 
 def semdedup_prune(emb: DataFrame, n_cells: int = 16, threshold: float = 0.35,
-                   dim: int = EMB_DIM) -> DataFrame:
+                   dim: int = EMB_DIM, n_iters: int = 0) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then inside each
     cluster drop every vector whose cosine similarity to an
@@ -249,10 +300,9 @@ def semdedup_prune(emb: DataFrame, n_cells: int = 16, threshold: float = 0.35,
     paper's non-iterative upper-triangular formulation), so the kept set
     is order-determined, not chain-dependent.
 
-    Coarse centroids are the embeddings of the n_cells smallest vec_ids —
-    the same deterministic k-means stand-in as ivf_topk (the quantizer's
-    quality is a model boundary; the distributed structure is what this
-    operator provides). Scale: with n_cells ≈ √n (the paper's regime) the
+    Coarse centroids come from the same `coarse_centroids` quantizer as
+    ivf_topk (deterministic seeds + optional integer-exact Lloyd
+    refinements via n_iters). Scale: with n_cells ≈ √n (the paper's regime) the
     in-cell pairwise join is O(n²/n_cells) — the algorithm's inherent
     cost, paid as ONE equi-join shuffle on the cell id; assignment is a
     broadcast of the tiny centroid table plus an argmin whose shuffle
@@ -264,17 +314,10 @@ def semdedup_prune(emb: DataFrame, n_cells: int = 16, threshold: float = 0.35,
     where dup_of is the strongest earlier partner at/above threshold.
     """
     base = with_norm(emb, dim=dim).select("vec_id", "_e", "_norm")
-    cent = base.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("_e").alias("_ce"))
-
-    acc = F.lit(0.0)
-    for d in range(dim):
-        t = F.col("_e").getItem(d) - F.col("_ce").getItem(d)
-        acc = acc + t * t
-    dist = F.round(acc, 9)
+    cent = coarse_centroids(base, n_cells, dim, n_iters)
 
     ad = (base.select("vec_id", "_e").crossJoin(F.broadcast(cent))
-          .select("vec_id", "cid", dist.alias("d")))
+          .select("vec_id", "cid", _centroid_dist(dim).alias("d")))
     asn = (ad.groupBy("vec_id")
            .agg(F.min(F.struct("d", "cid")).alias("m"))
            .select("vec_id", F.col("m.cid").alias("cell"),

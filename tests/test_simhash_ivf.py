@@ -170,3 +170,65 @@ def test_sq_quantization_bruteforce(spark, tmp_path):
     assert got == want
     # endpoints and constant dims reconstruct exactly
     assert got[0][1] == 0 or want[0][1] == got[0][1]
+
+
+def test_lloyd_refinement_exact_means(spark):
+    """coarse_centroids n_iters=1: refined centroids are the exact
+    integer-micro-unit means of each seed cell (pure-Python restatement),
+    empty cells keep their seed, and n_iters=0 is the identity."""
+    from ocr_image_to_text_spark import similarity
+
+    dim = 4
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],   # 0: seed A
+        [0.0, 1.0, 0.0, 0.0],   # 1: seed B
+        [1.0, 0.1, 0.0, 0.0],   # 2: -> A
+        [0.1, 1.0, 0.0, 0.0],   # 3: -> B
+        [0.5, 0.5, 0.0, 0.0],   # 4: tie -> A (smaller cid)
+        [0.9, 0.2, 0.1, 0.0],   # 5: -> A
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    base = similarity.with_norm(emb, dim=dim).select("vec_id", "_e", "_norm")
+
+    seed = {r.cid: r._ce for r in
+            similarity.coarse_centroids(base, 2, dim, n_iters=0).collect()}
+    assert seed == {0: vecs[0], 1: vecs[1]}
+
+    got = {r.cid: r._ce for r in
+           similarity.coarse_centroids(base, 2, dim, n_iters=1).collect()}
+
+    import math
+
+    def mean_int(members):
+        cols = zip(*members)
+        return [math.floor(sum(math.floor(x * 1e6) for x in col)
+                           / len(members)) / 1e6 for col in cols]
+
+    cell_a = [vecs[i] for i in (0, 2, 4, 5)]
+    cell_b = [vecs[i] for i in (1, 3)]
+    assert got == {0: mean_int(cell_a), 1: mean_int(cell_b)}
+
+
+def test_lloyd_empty_cell_keeps_seed(spark):
+    """A seed that wins no vector (not even itself) keeps its coordinates
+    through the refinement instead of becoming null/zero."""
+    from ocr_image_to_text_spark import similarity
+
+    dim = 2
+    # seed 1 duplicates seed 0, so every vector (including seed 1
+    # itself) ties at the same distance to both and the smaller cid
+    # wins: cell 1 ends the iteration empty.
+    vecs = [[1.0, 0.0], [1.0, 0.0], [1.1, 0.0], [0.95, 0.0]]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    base = similarity.with_norm(emb, dim=dim).select("vec_id", "_e", "_norm")
+    got = {r.cid: r._ce for r in
+           similarity.coarse_centroids(base, 2, dim, n_iters=1).collect()}
+    assert got[1] == vecs[1]  # empty cell: seed carried over
+    import math
+    expect0 = [math.floor(sum(math.floor(x * 1e6) for x in col) / 4) / 1e6
+               for col in zip(*vecs)]
+    assert got[0] == expect0
