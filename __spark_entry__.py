@@ -606,7 +606,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text FROM documents
               UNION ALL
               SELECT CAST(d.doc_id + 10000000 AS BIGINT) AS doc_id,
-                     d.text || ' Contact user' || d.doc_id
+                     coalesce(d.text, '') || ' Contact user' || d.doc_id
                             || '@example.com on 12/05/2024 or 2024-05-12 '
                             || 'or Jan 5, 2024; call +1 (555) 123-4567; '
                             || 'see https://d' || d.doc_id || '.example.com'

@@ -300,7 +300,7 @@ def doc_entities(spark, sf_dir):
         (F.col("doc_id") + F.lit(ENTITY_SEED_OFFSET)).cast("long")
         .alias("doc_id"),
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),  # null text still seeds
             F.format_string(ENTITY_SEED_FMT, F.col("doc_id"),
                             F.col("doc_id"))).alias("text"))
     organic = docs.select("doc_id", "text")

@@ -57,12 +57,22 @@ def test_entities_positive_three_way(spark):
     assert got_spark == want
     assert {t for _, t, _ in want} == {"date", "email", "phone", "url"}
 
-    # DuckDB oracle SQL (the driver's twin), on the same rows
+    # DuckDB oracle SQL (the driver's twin), on the same rows. Since r4
+    # the doc_entities oracle unions a seeded derivation (doc_id offset
+    # by ENTITY_SEED_OFFSET) onto the organic corpus; the organic half
+    # must still equal the pyref expectation exactly, and the seeded
+    # half must be non-empty for every input doc.
+    from ocr_image_to_text_spark.queries import ENTITY_SEED_OFFSET
+
     con = duckdb.connect()
     con.register("documents", pdf)
     sql = entry.oracle_sql()["doc_entities"]
     got_duck = sorted(tuple(r) for r in con.sql(sql).fetchall())
-    assert got_duck == want
+    organic = [r for r in got_duck if r[0] < ENTITY_SEED_OFFSET]
+    seeded = [r for r in got_duck if r[0] >= ENTITY_SEED_OFFSET]
+    assert organic == want
+    assert {r[0] - ENTITY_SEED_OFFSET for r in seeded} == \
+        {d for d, _ in DOCS}  # every doc's seeded twin yields rows
 
 
 def test_entities_seeded_driver_query_nonvacuous(spark, tmp_path):
