@@ -137,13 +137,15 @@ AUDITS = [
     ("conversation_turn_latency", ["Window", "HashAggregate"],
      ["Python", "Join", "CartesianProduct"]),
     # TPC-H-shaped OLAP: Q1 is scan(pushed shipdate filter) + one
-    # grouped aggregate; Q3 must broadcast the filtered customer side
-    # and compile the top-k to TakeOrdered
+    # grouped aggregate. NOTE (r4): Q3/Q5 carry NO broadcast hints on the
+    # scale-growing customer/supplier tables — the BroadcastHashJoins in
+    # these small-SF plans are Catalyst's size-threshold picking them
+    # from file statistics, which flips to SortMergeJoin at warehouse
+    # scale (pinned by test_plan_shapes.py::
+    # test_tpch_no_hardcoded_broadcast_on_growing_dims with the
+    # threshold disabled); only region/nation keep explicit hints.
     ("tpch_pricing_summary", ["PushedFilters", "HashAggregate"],
      ["Python", "Join", "Window", "CartesianProduct"]),
-    # Q5 shape: every dim broadcast, the ONLY real shuffle is
-    # orders ⨝ lineitem on orderkey — a SortMergeJoin there is fine,
-    # a cartesian anywhere is not
     ("tpch_local_supplier_revenue",
      ["BroadcastHashJoin", "HashAggregate"],
      ["Python", "CartesianProduct", "BroadcastNestedLoopJoin"]),
@@ -255,7 +257,17 @@ def main() -> None:
              f"Generated by tools/explain_audit.py over `{sf_dir}`.",
              "Markers: ReadSchema (column pruning), PushedFilters (predicate",
              "pushdown), WholeStageCodegen (JVM-compiled exprs); Python nodes",
-             "allowed only where a UDF is architecturally required.", ""]
+             "allowed only where a UDF is architecturally required.",
+             "",
+             "NOTE on broadcasts in TPC-H plans: Q3/Q5 carry NO broadcast",
+             "hints on the scale-growing customer/supplier tables (r4); the",
+             "BroadcastHashJoins visible at this small SF are Catalyst's",
+             "size threshold reading file statistics — at warehouse scale",
+             "the same queries compile those joins to SortMergeJoin, pinned",
+             "by test_plan_shapes.py::",
+             "test_tpch_no_hardcoded_broadcast_on_growing_dims (threshold",
+             "disabled → SMJ, only the region/nation fixed-dim hints stay).",
+             ""]
     failures = []
     for name, required, forbidden in AUDITS:
         df = qs[name](spark, sf_dir)
