@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_cosine_topk": q.chunk_cosine_topk,
         # new in r4: Lloyd-refined coarse quantizer (oracle-certified)
         "ann_ivf_lloyd_topk": q.ann_ivf_lloyd_topk,
+        # new in r4: T4 first-10-lines preview (last §2 row closed)
+        "conversation_preview_t4": q.conversation_preview_t4,
+        # new in r4: ANN quality eval (recall@k of IVF vs exact scan)
+        "ann_ivf_recall": q.ann_ivf_recall,
         # --- extraction pipeline (SURVEY §2.2/2.4/2.5/2.6, north_star;
         #     driver-green in CORRECTNESS_r01-r03) ---
         "extract_rollup": q.extract_rollup,
@@ -566,6 +570,17 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_g("extract")}') GROUP BY kind""",
         "conversation_stitch": f"""
             SELECT conv_id, stitched FROM read_parquet('{_g("stitch")}')""",
+        # T4 preview: same first-10-lines numbering over the stitch golden
+        # (DuckDB's indexed list_transform lambda is 1-based, matching the
+        # reference's enumerate(lines, 1)).
+        "conversation_preview_t4": f"""
+            WITH s AS (SELECT conv_id, str_split(stitched, chr(10)) ls
+                       FROM read_parquet('{_g("stitch")}'))
+            SELECT conv_id,
+                   array_to_string(list_transform(list_slice(ls, 1, 10),
+                       (x, i) -> printf('%2d: %s', i, x)), chr(10)) AS preview,
+                   CAST(len(ls) > 10 AS BIGINT) AS truncated
+            FROM s""",
         "conversation_stitch_v1": f"""
             SELECT conv_id, stitched FROM read_parquet('{_g("stitch_v1")}')""",
         # Turn-latency golden: the pure-Python sequential pass (role/ts).
@@ -921,6 +936,50 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos_r DESC, neighbor_id) rank FROM j)
             WHERE rank <= 3""",
+        # Recall@k of IVF vs the exact scan: both searches restated, then
+        # a per-query LEFT JOIN hit count (count(matched) keeps 0-recall
+        # queries as rows).
+        "ann_ivf_recall": f"""
+            WITH {_EMB_NORM},
+            ej AS (SELECT q.vec_id query_id, b.vec_id neighbor_id,
+                     round(list_sum(list_transform(generate_series(1, len(b.e)),
+                           i -> b.e[i] * q.e[i])) / (b.nrm * q.nrm), 9) cos_r
+                   FROM n b, n q WHERE q.vec_id < 20 AND b.vec_id != q.vec_id),
+            et AS (SELECT query_id, neighbor_id FROM
+                     (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos_r DESC, neighbor_id) rank FROM ej)
+                   WHERE rank <= 3),
+            c AS (SELECT vec_id cid, e ce FROM n WHERE vec_id < 16),
+            ad AS (SELECT b.vec_id, c.cid,
+                     round(list_sum(list_transform(generate_series(1, len(b.e)),
+                           i -> (b.e[i] - c.ce[i]) * (b.e[i] - c.ce[i]))), 9) d
+                   FROM n b, c),
+            asn AS (SELECT vec_id, cid cell FROM
+                      (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cid) rn FROM ad)
+                    WHERE rn = 1),
+            probe AS (SELECT vec_id query_id, cid cell FROM
+                        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cid) rn FROM ad WHERE vec_id < 20)
+                      WHERE rn <= 4),
+            ij AS (SELECT p.query_id, b.vec_id neighbor_id,
+                     round(list_sum(list_transform(generate_series(1, len(b.e)),
+                           i -> b.e[i] * q.e[i])) / (b.nrm * q.nrm), 9) cos_r
+                   FROM probe p JOIN asn a ON a.cell = p.cell
+                   JOIN n b ON b.vec_id = a.vec_id
+                   JOIN n q ON q.vec_id = p.query_id
+                   WHERE b.vec_id != p.query_id),
+            it AS (SELECT query_id, neighbor_id FROM
+                     (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos_r DESC, neighbor_id) rank FROM ij)
+                   WHERE rank <= 3)
+            SELECT cast(et.query_id as bigint) query_id,
+                   cast(count(it.neighbor_id) as bigint) n_hits,
+                   cast(floor(1000.0 * count(it.neighbor_id) / 3) as bigint)
+                     AS recall_x1000
+            FROM et LEFT JOIN it ON et.query_id = it.query_id
+                                AND et.neighbor_id = it.neighbor_id
+            GROUP BY et.query_id""",
         # IVF with ONE Lloyd refinement: the twin restates the k-means
         # step exactly — integer micro-unit sums (floor(e·1e6) longs),
         # floor(sum/cnt)/1e6 exact means, empty cells keep the seed.

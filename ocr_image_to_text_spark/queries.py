@@ -216,6 +216,28 @@ def conversation_stitch_v1(spark, sf_dir, bucket: int = 1024):
     return p2.select("conv_id", stitched.alias("stitched"))
 
 
+def conversation_preview_t4(spark, sf_dir, n_lines: int = 10):
+    """T4 — first-10-lines numbered preview
+    (test_precision_layout.py:207-211): lines = text.split('\\n')[:10],
+    each rendered '%2d: %s' (1-based, space-padded), plus a truncated
+    flag when more lines exist. Was the last §2 row left test-only;
+    implemented here over the stitched conversation text (the document
+    analog of the reference's precision_text). Zero extra shuffle: one
+    split + slice + indexed transform over conversation_stitch's
+    output — the preview never explodes to per-line rows.
+
+    Output: (conv_id, preview, truncated)."""
+    st = conversation_stitch(spark, sf_dir)
+    lines = F.split(F.col("stitched"), "\n")
+    numbered = F.transform(
+        F.slice(lines, 1, n_lines),
+        lambda ln, i: F.format_string("%2d: %s", i + F.lit(1), ln))
+    return st.select(
+        "conv_id",
+        F.array_join(numbered, "\n").alias("preview"),
+        (F.size(lines) > n_lines).cast("long").alias("truncated"))
+
+
 def extract_similarity_x16(spark, sf_dir):
     """X16 benchmark similarity (src/ocr_benchmark.py:21-25): difflib
     ratio between the v2 and v1 layout of each boxes turn — the per-item
@@ -667,6 +689,15 @@ def ann_cosine_topk(spark, sf_dir):
 def emb_dup_pairs(spark, sf_dir):
     emb, dim = _emb(spark, sf_dir)
     return similarity.cosine_dup_pairs(emb, threshold=0.35, dim=dim)
+
+
+def ann_ivf_recall(spark, sf_dir):
+    """Recall@k of IVF-Flat vs the exact scan (Faiss eval convention);
+    certifies the quality-measurement op itself — both searches AND the
+    per-query hit count match the DuckDB twin exactly."""
+    emb, dim = _emb(spark, sf_dir)
+    return similarity.ivf_recall(emb, n_queries=20, k=3, n_cells=16,
+                                 n_probe=4, dim=dim)
 
 
 def ann_lsh_topk(spark, sf_dir):

@@ -265,6 +265,32 @@ def ivf_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
     )
 
 
+def ivf_recall(emb: DataFrame, n_queries: int = 20, k: int = 3,
+               n_cells: int = 16, n_probe: int = 4, dim: int = EMB_DIM,
+               n_iters: int = 0) -> DataFrame:
+    """Recall@k of the IVF quantizer against the exact scan — the
+    standard ANN quality evaluation (Faiss benchmark convention), run
+    entirely engine-side: per query, how many of the exact top-k
+    neighbors the probed-cell search returned. The eval itself is one
+    equi-join of two k-row-per-query frames plus a per-query count —
+    negligible next to either search; at corpus scale you run it on a
+    query SAMPLE, which this already is (vec_id < n_queries).
+
+    Output: (query_id, n_hits, recall_x1000)."""
+    ex = cosine_topk(emb, n_queries, k, dim).select(
+        "query_id", "neighbor_id")
+    ap = (ivf_topk(emb, n_queries, k, n_cells, n_probe, dim, n_iters)
+          .select("query_id", "neighbor_id")
+          .withColumn("hit", F.lit(1)))
+    j = ex.join(ap, ["query_id", "neighbor_id"], "left")
+    return (j.groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+                 .alias("n_hits"))
+            .select(F.col("query_id").cast("long"), "n_hits",
+                    F.floor(F.lit(1000.0) * F.col("n_hits") / k)
+                    .cast("long").alias("recall_x1000")))
+
+
 def embed_text_py(text: str, dim: int) -> list[float]:
     """Deterministic md5 embedding stand-in for the neural encoder.
 
