@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_preview_t4": q.conversation_preview_t4,
         # new in r4: ANN quality eval (recall@k of IVF vs exact scan)
         "ann_ivf_recall": q.ann_ivf_recall,
+        # new in r4: 64-bit SimHash (Manku production width, 16-bit bands)
+        "doc_simhash64": q.doc_simhash64,
+        "dedup_simhash_pairs_wide": q.dedup_simhash_pairs_wide,
         # --- extraction pipeline (SURVEY §2.2/2.4/2.5/2.6, north_star;
         #     driver-green in CORRECTNESS_r01-r03) ---
         "extract_rollup": q.extract_rollup,
@@ -1117,6 +1120,23 @@ def oracle_sql() -> dict[str, str]:
                                w -> substr(md5(w), 1, 8)) hs
                 FROM documents),
             s AS (SELECT doc_id, {simhash_expr_sql("duckdb")} simhash FROM t)
+            SELECT cast(a.doc_id as bigint) doc_a, cast(b.doc_id as bigint) doc_b,
+                   cast(bit_count(xor(a.simhash, b.simhash)) as bigint) hamming
+            FROM s a, s b
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "doc_simhash64": f"""
+            WITH t AS (SELECT doc_id,
+                list_transform(list_distinct(regexp_extract_all(lower(text), '\\w+')),
+                               w -> substr(md5(w), 1, 16)) hs
+                FROM documents)
+            SELECT doc_id, {simhash_expr_sql("duckdb", bits=64)} simhash FROM t""",
+        "dedup_simhash_pairs_wide": f"""
+            WITH t AS (SELECT doc_id,
+                list_transform(list_distinct(regexp_extract_all(lower(text), '\\w+')),
+                               w -> substr(md5(w), 1, 16)) hs
+                FROM documents),
+            s AS (SELECT doc_id, {simhash_expr_sql("duckdb", bits=64)} simhash FROM t)
             SELECT cast(a.doc_id as bigint) doc_a, cast(b.doc_id as bigint) doc_b,
                    cast(bit_count(xor(a.simhash, b.simhash)) as bigint) hamming
             FROM s a, s b

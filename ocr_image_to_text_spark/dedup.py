@@ -346,7 +346,13 @@ def simhash_expr_sql(dialect: str, bits: int = 32) -> str:
         bit = f"(cast(floor({nib} / {2 ** (3 - b % 4)}) as int) % 2)"
         contrib = f"(2 * {bit} - 1)"
         s = sum_tpl.format(contrib=contrib)
-        terms.append(f"(case when {s} >= 0 then cast({2 ** (bits - 1 - b)} as bigint) else 0 end)")
+        v = 2 ** (bits - 1 - b)
+        # the 64-bit MSB term is -2^63 in signed bigint space; spelled as
+        # an expression because neither parser accepts the literal
+        # -9223372036854775808 (the positive half overflows first)
+        lit = (f"cast({v} as bigint)" if v < 2 ** 63
+               else "cast(-9223372036854775807 - 1 as bigint)")
+        terms.append(f"(case when {s} >= 0 then {lit} else 0 end)")
     return "(" + " + ".join(terms) + ")"
 
 

@@ -645,6 +645,21 @@ def doc_simhash(spark, sf_dir):
         "doc_id", F.expr(dedup.simhash_expr_sql("spark")).alias("simhash"))
 
 
+def doc_simhash64(spark, sf_dir):
+    """64-bit SimHash signature (Manku's production width — the config
+    the 32-bit query's scale note prescribes for 10^9 docs): identical
+    construction with 16-hex-char word hashes; the MSB occupies the
+    signed bigint's sign bit."""
+    docs = _docs(spark, sf_dir)
+    hs = F.transform(
+        F.array_distinct(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)),
+        lambda w: F.substring(F.md5(w), 1, 16),
+    )
+    return docs.select("doc_id", hs.alias("hs")).select(
+        "doc_id", F.expr(dedup.simhash_expr_sql("spark", bits=64))
+        .alias("simhash"))
+
+
 _EMB_DIM_CACHE: dict = {}
 
 
@@ -752,6 +767,19 @@ def dedup_simhash_pairs(spark, sf_dir):
     DuckDB oracle is the brute-force all-pairs Hamming scan."""
     sigs = doc_simhash(spark, sf_dir)
     return dedup.simhash_band_pairs(sigs, max_hamming=3, bits=32, n_bands=4)
+
+
+def dedup_simhash_pairs_wide(spark, sf_dir):
+    """SimHash near-dup pairs at Manku's production width: 64-bit
+    signature, 4 bands × 16 bits, Hamming ≤ 3 verify. Same pigeonhole
+    recall guarantee as the 32-bit query, but each band key ranges over
+    2^16 values instead of 2^8 — candidate fan-out per bucket shrinks
+    ~256×, which is THE knob the sf0.1→sf1 exhibit showed growing
+    super-linearly for fixed 8-bit bands (BENCH.md round-4 table). The
+    oracle is the brute-force all-pairs Hamming scan over the 64-bit
+    signatures, proving zero recall loss at this width too."""
+    sigs = doc_simhash64(spark, sf_dir)
+    return dedup.simhash_band_pairs(sigs, max_hamming=3, bits=64, n_bands=4)
 
 
 def dedup_clusters(spark, sf_dir):
