@@ -219,3 +219,27 @@ def test_avi_rle8_stdlib_twin_agrees():
     assert (w, h, usec) == (33, 21, 250_000) and len(pf) == 3
     for a, b in zip(dec, pf):
         assert b == [[tuple(px) for px in row] for row in a]
+
+
+def test_rle8_roundtrip_hypothesis():
+    """Property: for ANY 8-bit indexed frame, rle8_encode → _rle8_undo is
+    the identity on indices, and the stdlib twin agrees — including
+    degenerate 1-wide/1-tall frames and constant/alternating rows."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from ocr_image_to_text_spark import mmref
+
+    @settings(max_examples=40, deadline=None)
+    @given(arrays(dtype=np.uint8,
+                  shape=st.tuples(st.integers(1, 24), st.integers(1, 24))))
+    def check(idx):
+        raster = mm.rle8_encode(idx)
+        h, w = idx.shape
+        img = mm._rle8_undo(raster, w, h, mm.GRAY_PALETTE)
+        assert np.array_equal(img[:, :, 0], idx)      # gray palette: r==index
+        rows = mmref._rle8_rows_py(raster, w, h, mm.GRAY_PALETTE)
+        assert rows == [[tuple(px) for px in row] for row in img]
+
+    check()

@@ -72,6 +72,23 @@ AUDITS = [
      ["ArrowEvalPython", "CartesianProduct"]),
     ("ann_ivf_topk", ["BroadcastExchange", "HashAggregate|SortAggregate", "Window"],
      ["Python", "CartesianProduct"]),
+    # r4: Lloyd refinement adds one assignment pass + a ≤n_cells-key mean
+    # agg — still broadcast-driven, still no Python and no cartesian
+    ("ann_ivf_lloyd_topk",
+     ["BroadcastExchange", "HashAggregate|SortAggregate", "Window"],
+     ["Python", "CartesianProduct"]),
+    # r4: recall eval joins two k-row-per-query frames — equi-join only
+    ("ann_ivf_recall",
+     ["BroadcastExchange", "HashAggregate|SortAggregate"],
+     ["Python", "CartesianProduct"]),
+    # r4: 64-bit SimHash banded pairs — same equi-join shape as 32-bit
+    ("dedup_simhash_pairs_wide",
+     ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "Generate"],
+     ["ArrowEvalPython", "CartesianProduct"]),
+    # r4: T4 preview — map-only over the stitched frame; the single
+    # ArrowEvalPython is the extraction dispatch inside the stitch
+    ("conversation_preview_t4", ["ArrowEvalPython"],
+     ["BatchEvalPython", "CartesianProduct", "Join"]),
     # round-3 pipeline ops: the histogram is a pure two-level aggregate;
     # the stratified sample is a zero-shuffle filter whose scan prunes to
     # the two needed columns; the as-of join is ONE window pass — any
