@@ -318,15 +318,21 @@ def doc_entities(spark, sf_dir):
     the raw corpus, so a regex that over-matches clean prose now fails
     the hash too."""
     docs = _docs(spark, sf_dir)
-    seeded = docs.select(
-        (F.col("doc_id") + F.lit(ENTITY_SEED_OFFSET)).cast("long")
-        .alias("doc_id"),
-        F.concat(
-            F.coalesce(F.col("text"), F.lit("")),  # null text still seeds
-            F.format_string(ENTITY_SEED_FMT, F.col("doc_id"),
-                            F.col("doc_id"))).alias("text"))
-    organic = docs.select("doc_id", "text")
-    return _entities_over(organic.unionByName(seeded))
+    seeded_text = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),  # null text still seeds
+        F.format_string(ENTITY_SEED_FMT, F.col("doc_id"), F.col("doc_id")))
+    # one corpus scan, not a UNION of two (a union of the same source
+    # reads the parquet twice — 2× scan at 100 TB): each row explodes
+    # into its organic and seeded twin map-side.
+    pair = F.array(
+        F.struct(F.col("doc_id").cast("long").alias("doc_id"),
+                 F.col("text").alias("text")),
+        F.struct((F.col("doc_id") + F.lit(ENTITY_SEED_OFFSET)).cast("long")
+                 .alias("doc_id"), seeded_text.alias("text")))
+    u = (docs.select(F.explode(pair).alias("s"))
+         .select(F.col("s.doc_id").alias("doc_id"),
+                 F.col("s.text").alias("text")))
+    return _entities_over(u)
 
 
 ENTITY_SEED_OFFSET = 10_000_000
