@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4: 64-bit SimHash (Manku production width, 16-bit bands)
         "doc_simhash64": q.doc_simhash64,
         "dedup_simhash_pairs_wide": q.dedup_simhash_pairs_wide,
+        # new in r4: corpus-level latency SLO percentiles
+        "conversation_latency_quantiles": q.conversation_latency_quantiles,
         # --- extraction pipeline (SURVEY §2.2/2.4/2.5/2.6, north_star;
         #     driver-green in CORRECTNESS_r01-r03) ---
         "extract_rollup": q.extract_rollup,
@@ -591,6 +593,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, n_turns, n_user, n_assistant, n_pairs,
                    mean_latency_ms, max_latency_ms
             FROM read_parquet('{_g("latency")}')""",
+        # Corpus latency SLO percentiles over the raw pair golden:
+        # quantile_cont ≡ Spark's exact percentile on bigint inputs.
+        "conversation_latency_quantiles": f"""
+            SELECT cast(count(*) as bigint) n_pairs,
+                   cast(floor(quantile_cont(lat_ms, 0.5) * 1000.0 + 0.5)
+                        as bigint) p50_x1000,
+                   cast(floor(quantile_cont(lat_ms, 0.9) * 1000.0 + 0.5)
+                        as bigint) p90_x1000,
+                   cast(floor(quantile_cont(lat_ms, 0.99) * 1000.0 + 0.5)
+                        as bigint) p99_x1000,
+                   cast(max(lat_ms) as bigint) max_ms
+            FROM read_parquet('{_g("latency_pairs")}')""",
         # Conversation-level exact dedup over the stitched golden, with
         # the same seeded-duplicate coin rebuilt from the md5 prefix.
         "conversation_dedup_seeded": f"""

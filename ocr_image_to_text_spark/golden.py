@@ -462,3 +462,55 @@ def ensure_latency_golden(sf_dir: str) -> str:
         })
     _write(path, rows, LATENCY_SCHEMA)
     return path
+
+
+LATENCY_PAIRS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("pair_idx", pa.int64()),
+    ("lat_ms", pa.int64()),
+])
+
+
+def ensure_latency_pairs_golden(sf_dir: str) -> str:
+    """Raw assistant-after-user latency PAIRS (one row per pair, in
+    turn order) — the input table for the corpus-level percentile
+    oracle: DuckDB's quantile_cont over these rows is the independent
+    twin of Spark's exact `percentile` aggregate."""
+    import datetime as _dt
+
+    import pyarrow.parquet as _pq
+
+    _epoch = _dt.datetime(1970, 1, 1)
+
+    def _ms(t):
+        if t.tzinfo is not None:
+            t = t.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        td = t - _epoch
+        return (td.days * 86_400_000_000 + td.seconds * 1_000_000
+                + td.microseconds) // 1000
+
+    tier = tier_for_sf_dir(sf_dir)
+    path = golden_path(tier, "latency_pairs")
+    if os.path.exists(path):
+        return path
+    tpath = ensure_transcripts(tier)
+    table = _pq.read_table(tpath, columns=["conv_id", "turn_idx", "role", "ts"])
+    convs: dict = {}
+    for conv_id, turn_idx, role, ts in zip(
+        table.column("conv_id").to_pylist(),
+        table.column("turn_idx").to_pylist(),
+        table.column("role").to_pylist(),
+        table.column("ts").to_pylist(),
+    ):
+        convs.setdefault(conv_id, []).append((turn_idx, role, ts))
+    rows = []
+    for conv_id, turns in convs.items():
+        turns.sort()
+        i = 0
+        for (_, pr, pts), (_, r, ts) in zip(turns, turns[1:]):
+            if pr == "user" and r == "assistant":
+                rows.append({"conv_id": conv_id, "pair_idx": i,
+                             "lat_ms": _ms(ts) - _ms(pts)})
+                i += 1
+    _write(path, rows, LATENCY_PAIRS_SCHEMA)
+    return path

@@ -980,6 +980,39 @@ def conversation_turn_latency(spark, sf_dir):
         .alias("max_latency_ms")))
 
 
+def conversation_latency_quantiles(spark, sf_dir):
+    """Corpus-level ordered statistics of assistant-after-user response
+    latency — the SLO numbers (p50/p90/p99/max) an operator reads off the
+    transcript table. ONE conv-partitioned lag window emits the pair
+    latencies; the corpus rollup is a single global aggregate whose
+    map-side partials carry only the exact-percentile buffer. Same
+    cross-engine exact-interpolation contract as corpus_length_quantiles
+    (Spark `percentile` ≡ DuckDB quantile_cont over bigint inputs,
+    rounded once to the 1e3 grid); oracle input is the
+    latency_pairs golden (pure-Python restatement of the lag pass).
+    Output: (n_pairs, p50_x1000, p90_x1000, p99_x1000, max_ms)."""
+    from .golden import ensure_latency_pairs_golden
+    from .transcripts import tier_for_sf_dir
+
+    if tier_for_sf_dir(sf_dir) != "bench":
+        ensure_latency_pairs_golden(sf_dir)
+    t = (spark.read.parquet(ensure_transcripts_for_sf_dir(sf_dir))
+         .select("conv_id", "turn_idx", "role", "ts"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000)
+    lat = F.when((F.lag("role").over(w) == "user")
+                 & (F.col("role") == "assistant"),
+                 ms - F.lag(ms).over(w)).cast("long")
+    pairs = t.select(lat.alias("lat_ms")).filter(F.col("lat_ms").isNotNull())
+    aggs = [F.count("*").cast("long").alias("n_pairs")]
+    for p in (0.5, 0.9, 0.99):
+        name = f"p{int(p * 100)}_x1000"
+        aggs.append(F.floor(F.expr(f"percentile(lat_ms, {p})") * 1000.0
+                            + 0.5).cast("long").alias(name))
+    aggs.append(F.max("lat_ms").cast("long").alias("max_ms"))
+    return pairs.agg(*aggs)
+
+
 TPCH_SHIP_CUTOFF = "2000-01-01"
 TPCH_SEGMENT = "BUILDING"
 
