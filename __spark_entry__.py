@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs_wide": q.dedup_simhash_pairs_wide,
         # new in r4: corpus-level latency SLO percentiles
         "conversation_latency_quantiles": q.conversation_latency_quantiles,
+        # new in r4: O(log n)-round star-contraction components
+        "dedup_clusters_star": q.dedup_clusters_star,
         # --- extraction pipeline (SURVEY §2.2/2.4/2.5/2.6, north_star;
         #     driver-green in CORRECTNESS_r01-r03) ---
         "extract_rollup": q.extract_rollup,
@@ -551,7 +553,7 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {b} band, mh{2*b} || '|' || mh{2*b+1} band_key FROM sig"
         for b in range(4)
     )
-    return {
+    oracles = {
         # --- extraction pipeline: oracle = pure-Python pyref goldens ---
         "extract_rollup": f"""
             SELECT conv_id, turn_idx, kind, extracted_text, n_blocks_kept,
@@ -1853,3 +1855,8 @@ def oracle_sql() -> dict[str, str]:
         # reads the pyref golden parquet; ann_lsh_topk restates the
         # deterministic hyperplane signature in SQL.)
     }
+    # Star-contraction components must produce EXACTLY the clusters label
+    # propagation produces (both = component min) — same oracle text, so
+    # a divergence between the two Spark algorithms is a hash failure.
+    oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
+    return oracles

@@ -327,6 +327,116 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         edges.unpersist()
 
 
+def connected_components_star(pairs: DataFrame, src: str = "doc_a",
+                              dst: str = "doc_b",
+                              max_rounds: int = 50) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the documented drop-in for adversarial
+    CHAIN-shaped graphs where hash-min label propagation needs
+    O(diameter) rounds: star contraction converges in O(log n) rounds
+    regardless of diameter.
+
+      large-star(a): every neighbor v > a re-attaches to
+                     m = min(N(a) ∪ {a});
+      small-star(a): orient edges max→min; a and its smaller neighbors
+                     re-attach to m = min(N<(a) ∪ {a}).
+
+    Scale shape per round: two groupBy-min aggregations (map-side
+    partial min) + two equi-joins back, all key-partitioned on the
+    node id — no driver data beyond a convergence checksum
+    (count + sum(hash)). Edge sets are localCheckpointed per round with
+    the same explicit block-release as connected_components (superseded
+    rounds freed eagerly, the final one handed to cachectl).
+
+    Output contract identical to connected_components:
+    (doc_id, cluster_id) for every vertex in `pairs`,
+    cluster_id = component min."""
+    spark = pairs.sparkSession
+    jsc = spark.sparkContext._jsc
+
+    def _pids() -> set:
+        return set(jsc.getPersistentRDDs().keySet().toArray())
+
+    def _ckpt(df):
+        before = _pids()
+        out = df.localCheckpoint()
+        return out, _pids() - before
+
+    def _drop(ids) -> None:
+        rdds = jsc.getPersistentRDDs()
+        for i in ids:
+            r = rdds.get(i)
+            if r is not None:
+                r.unpersist(False)
+
+    e0 = (pairs.select(F.col(src).cast("long").alias("u"),
+                       F.col(dst).cast("long").alias("v"))
+          .filter(F.col("u") != F.col("v")))
+    vertices, vert_ids = _ckpt(
+        e0.select(F.col("u").alias("doc_id"))
+        .unionByName(e0.select(F.col("v").alias("doc_id"))).distinct())
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        und = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (und.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        return (und.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        d = edges.select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v")).distinct()
+        # every v < u, so min(N<(u) ∪ {u}) = min(v)
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        attach = (d.join(m, "u")
+                  .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        center = m.select(F.col("u"), F.col("m").alias("v"))
+        return (attach.unionByName(center)
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    def checksum(edges: DataFrame):
+        # order-insensitive set fingerprint; hashes folded into [0, 2^30)
+        # so the sum stays far below int64 under ANSI overflow checking
+        h30 = F.pmod(F.xxhash64("u", "v"), F.lit(1 << 30))
+        r = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(h30), F.lit(0)).alias("h")).collect()[0]
+        return (r["n"], r["h"])
+
+    edges, live_ids = _ckpt(small_star(e0))
+    prev = checksum(edges)
+    try:
+        for _ in range(max_rounds):
+            new_edges, new_ids = _ckpt(small_star(large_star(edges)))
+            cur = checksum(new_edges)
+            _drop(live_ids)
+            edges, live_ids = new_edges, new_ids
+            if cur == prev:
+                # converged: a star forest — every child points at its
+                # component root (= component min); roots have no edge.
+                roots = edges.groupBy("u").agg(F.min("v").alias("root"))
+                out = (vertices.join(
+                    roots.select(F.col("u").alias("doc_id"), "root"),
+                    "doc_id", "left")
+                    .select("doc_id",
+                            F.coalesce("root", F.col("doc_id"))
+                            .alias("cluster_id")))
+                register_releaser(lambda ids=live_ids | vert_ids: _drop(ids))
+                return out
+            prev = cur
+    except Exception:
+        _drop(live_ids | vert_ids)
+        raise
+    _drop(live_ids | vert_ids)
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_rounds} "
+        "rounds (expected O(log n) — check the edge normalization)")
+
+
 def simhash_expr_sql(dialect: str, bits: int = 32) -> str:
     """Generate the SimHash expression for a dialect ('spark' | 'duckdb').
 

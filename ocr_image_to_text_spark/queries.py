@@ -808,6 +808,24 @@ def dedup_clusters(spark, sf_dir):
         .cast("long").alias("n_docs"))
 
 
+def dedup_clusters_star(spark, sf_dir):
+    """Same clusters as dedup_clusters, computed by large-star/small-star
+    contraction (Kiveris et al. SoCC'14) instead of hash-min label
+    propagation: O(log n) rounds independent of component DIAMETER — the
+    variant a 100 TB dedup runs when near-dup graphs chain (label
+    propagation needs O(diameter) rounds there). The oracle is the SAME
+    recursive-CTE transitive closure as dedup_clusters, so the two Spark
+    algorithms are certified to agree with each other AND with DuckDB.
+    Output: (doc_id, cluster_id, n_docs)."""
+    from pyspark.sql import Window
+
+    comp = dedup.connected_components_star(dedup_simhash_pairs(spark, sf_dir))
+    return comp.select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long"),
+        F.count("*").over(Window.partitionBy("cluster_id"))
+        .cast("long").alias("n_docs"))
+
+
 def doc_length_histogram(spark, sf_dir):
     """Corpus length-distribution rollup — the per-language token-count
     histogram a training-mix designer reads before choosing sampling

@@ -79,3 +79,49 @@ def test_nonconvergence_is_loud(spark):
 def test_empty_pairs_empty_clusters(spark):
     df = _pairs_df(spark, []).filter(F.lit(False))
     assert connected_components(df).count() == 0
+
+
+def test_star_contraction_chain_in_log_rounds(spark):
+    """The algorithm's raison d'être: a 64-node PATH (diameter 63) where
+    label propagation needs ~63 rounds, star contraction must converge
+    within max_rounds=10 ≈ O(log n) — and still labels every node with
+    the component min."""
+    from ocr_image_to_text_spark.dedup import connected_components_star
+
+    edges = [(i, i + 1) for i in range(63)]
+    got = {(r.doc_id, r.cluster_id)
+           for r in connected_components_star(
+               _pairs_df(spark, edges), max_rounds=10).collect()}
+    assert got == {(i, 0) for i in range(64)}
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """Both algorithms agree with union-find ground truth on a random
+    graph with several components and isolated chains."""
+    from ocr_image_to_text_spark.dedup import connected_components_star
+
+    rng = random.Random(7)
+    nodes = list(range(80))
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in (rng.sample(nodes, 2) for _ in range(45))})
+    edges += [(200 + i, 201 + i) for i in range(9)]  # a chain component
+    expect = _cc_bruteforce(edges, {n for e in edges for n in e})
+    star = dict((r.doc_id, r.cluster_id)
+                for r in connected_components_star(
+                    _pairs_df(spark, edges)).collect())
+    lp = dict((r.doc_id, r.cluster_id)
+              for r in connected_components(_pairs_df(spark, edges)).collect())
+    assert star == expect
+    assert lp == expect
+
+
+def test_star_contraction_releases_checkpoints(spark):
+    """Every round's localCheckpoint RDDs are freed: after the consumer
+    materializes and release_caches() runs, nothing stays persistent."""
+    from ocr_image_to_text_spark.cachectl import release_caches
+    from ocr_image_to_text_spark.dedup import connected_components_star
+
+    edges = [(i, i + 1) for i in range(20)]
+    connected_components_star(_pairs_df(spark, edges)).collect()
+    release_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
