@@ -113,6 +113,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_latency_quantiles": q.conversation_latency_quantiles,
         # new in r4: O(log n)-round star-contraction components
         "dedup_clusters_star": q.dedup_clusters_star,
+        # new in r4 wave 2: corpus-statistical boilerplate suppression
+        # (CCNet frequent-line gate — the corpus-scale twin of the
+        # reference's per-image noise filtering)
+        "corpus_boilerplate_lines": q.corpus_boilerplate_lines,
+        "doc_strip_boilerplate": q.doc_strip_boilerplate,
+        # new in r4 wave 2: transcript-native role/tool analytics
+        "conversation_role_transitions": q.conversation_role_transitions,
+        "conversation_tool_stats": q.conversation_tool_stats,
+        # new in r4 wave 2: TPC-H Q6/Q10/Q13/Q18 shapes
+        "tpch_forecast_revenue": q.tpch_forecast_revenue,
+        "tpch_returned_items": q.tpch_returned_items,
+        "tpch_custdist": q.tpch_custdist,
+        "tpch_large_orders": q.tpch_large_orders,
         # --- extraction pipeline (SURVEY §2.2/2.4/2.5/2.6, north_star;
         #     driver-green in CORRECTNESS_r01-r03) ---
         "extract_rollup": q.extract_rollup,
@@ -385,6 +398,41 @@ def _c4_seeded_ctes() -> str:
               FROM k)"""
 
 
+def _bp_ctes() -> str:
+    """Shared DuckDB CTEs for the boilerplate-line pair: the seeded
+    paged corpus (header %3 / footer %4 / cookie %7), the distinct
+    normalized (doc, line) stream, the corpus count, and the gated
+    frequent-line set — restating queries._bp_seeded_docs /
+    _bp_frequent_lines independently."""
+    from ocr_image_to_text_spark.queries import (
+        BP_FRACTION_DEN, BP_MIN_DOCS, BP_SEED_COOKIE, BP_SEED_FOOTER,
+        BP_SEED_HEADER)
+
+    paged = (r"regexp_replace(text, '((?:\w+\s+){7}\w+)\s+', "
+             r"'\1.' || chr(10), 'g')")
+    return rf"""seeded AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '{BP_SEED_HEADER}' || chr(10) ELSE '' END
+                     || {paged}
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN chr(10) || '{BP_SEED_FOOTER}' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || '{BP_SEED_COOKIE}' ELSE '' END
+                     AS text
+              FROM documents),
+            bpl AS (
+              SELECT DISTINCT doc_id, trim(lower(u.l)) AS line
+              FROM seeded, unnest(string_split(text, chr(10))) AS u(l)
+              WHERE trim(lower(u.l)) <> ''),
+            bpn AS (SELECT cast(count(*) as bigint) n_docs FROM seeded),
+            bp AS (
+              SELECT line, cast(count(*) as bigint) doc_freq
+              FROM bpl, bpn GROUP BY line, n_docs
+              HAVING count(*) >= greatest({BP_MIN_DOCS},
+                  cast(floor(n_docs / {BP_FRACTION_DEN}.0) as bigint)))"""
+
+
 def _c4_seeded_sql() -> str:
     """DuckDB twin of doc_c4_page_filter_seeded."""
     return f"""
@@ -544,6 +592,15 @@ def oracle_sql() -> dict[str, str]:
         chunk_cosine_sql_duckdb,
         chunk_l2_sql_duckdb,
     )
+    from ocr_image_to_text_spark.transcripts import (
+        ensure_transcripts as _ensure_t,
+        transcripts_path as _t_path,
+    )
+
+    # Driver correctness tier is sf0.01 → transcripts tier t2; build it
+    # if the Spark side hasn't yet (idempotent, deterministic).
+    _ensure_t("t2")
+    _tp = _t_path("t2")
 
     sigs = ",\n          ".join(
         f"list_aggregate(list_transform(shs, s -> md5('{i}:' || s)), 'min') mh{i}"
@@ -1851,6 +1908,98 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(r.s, 0) as bigint) dsir_logw_x1e6
             FROM documents d LEFT JOIN r USING (doc_id)
             WHERE d.doc_id % 31 <> 0""",
+        # CCNet frequent-line boilerplate: detection (the gated set)…
+        "corpus_boilerplate_lines": f"""
+            WITH {_bp_ctes()}
+            SELECT line, doc_freq FROM bp""",
+        # …and application (array_filter of the set per doc).
+        "doc_strip_boilerplate": f"""
+            WITH {_bp_ctes()},
+            bset AS (SELECT coalesce(list(line), []) bls FROM bp),
+            sdoc AS (SELECT doc_id, text,
+                            string_split(text, chr(10)) ls FROM seeded),
+            kk AS (SELECT doc_id, text, ls,
+                          list_filter(ls, x -> NOT list_contains(
+                              bls, trim(lower(x)))) kept
+                   FROM sdoc, bset)
+            SELECT cast(doc_id as bigint) doc_id,
+                   cast(len(ls) as bigint) n_lines,
+                   cast(len(kept) as bigint) n_kept_lines,
+                   cast(length(text) as bigint) chars_in,
+                   cast(length(coalesce(array_to_string(kept, chr(10)), ''))
+                        as bigint) chars_out,
+                   coalesce(array_to_string(kept, chr(10)), '') clean_text
+            FROM kk""",
+        # Transcript-native role/tool analytics (read the same
+        # deterministic t2 transcripts parquet the Spark side builds).
+        "conversation_role_transitions": f"""
+            WITH x AS (
+              SELECT role, lag(role) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) prev_role
+              FROM read_parquet('{_tp}'))
+            SELECT prev_role, role, cast(count(*) as bigint) n_transitions
+            FROM x WHERE prev_role IS NOT NULL
+            GROUP BY prev_role, role""",
+        "conversation_tool_stats": f"""
+            SELECT role, cast(count(*) as bigint) n_turns,
+                   cast(sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END)
+                        as bigint) n_tool_turns,
+                   cast(sum(length(tool)) as bigint) sum_tool_chars,
+                   cast(sum(length(text)) as bigint) sum_text_chars
+            FROM read_parquet('{_tp}') GROUP BY role""",
+        # TPC-H wave 2 (Q6/Q10/Q13/Q18 shapes; money = per-row floored
+        # cents; quantities floored per row — DuckDB casts round while
+        # Spark casts truncate, floor() is the dialect-safe form).
+        "tpch_forecast_revenue": r"""
+            SELECT cast(count(*) as bigint) n_rows,
+                   cast(sum(cast(floor(l_extendedprice * l_discount
+                        * 100.0 + 0.5) as bigint)) as bigint) revenue_c
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24.0""",
+        "tpch_returned_items": r"""
+            SELECT cast(c.c_custkey as bigint) c_custkey, c.c_name,
+                   n.n_name,
+                   cast(sum(cast(floor(l.l_extendedprice
+                        * (1.0 - l.l_discount) * 100.0 + 0.5) as bigint))
+                        as bigint) revenue_c
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1995-07-01'
+              AND o.o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue_c DESC, c_custkey ASC
+            LIMIT 20""",
+        "tpch_custdist": r"""
+            WITH per AS (
+              SELECT c.c_custkey,
+                     cast(count(o.o_custkey) as bigint) c_count
+              FROM customer c
+              LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey)
+            SELECT c_count, cast(count(*) as bigint) custdist
+            FROM per GROUP BY c_count""",
+        "tpch_large_orders": r"""
+            WITH big AS (
+              SELECT l_orderkey,
+                     cast(sum(cast(floor(l_quantity) as bigint)) as bigint)
+                         sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(cast(floor(l_quantity) as bigint)) > 250)
+            SELECT cast(c.c_custkey as bigint) c_custkey, c.c_name,
+                   cast(o.o_orderkey as bigint) o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') o_orderdate,
+                   cast(floor(o.o_totalprice * 100.0 + 0.5) as bigint)
+                       total_c,
+                   big.sum_qty
+            FROM big
+            JOIN orders o ON big.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey""",
         # (every queries() entry now has an oracle twin: chunks_modern
         # reads the pyref golden parquet; ann_lsh_topk restates the
         # deterministic hyperplane signature in SQL.)

@@ -2405,3 +2405,244 @@ def events_asof_join(spark, sf_dir):
                         (_ms(F.col("ts")) - _ms(view_ts)).cast("long"))
             .filter(F.col("event_type") == "click")
             .select(F.col("event_id").cast("long"), "view_event_id", "gap_ms"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate-line suppression (CCNet-style frequent-line gate)
+# ---------------------------------------------------------------------------
+
+BP_SEED_HEADER = "Example Corp Documentation Portal - All Rights Reserved."
+BP_SEED_FOOTER = "Home | About | Contact | Privacy Policy."
+BP_SEED_COOKIE = "We use cookies to improve your browsing experience."
+BP_MIN_DOCS = 5        # absolute floor of the doc-frequency gate
+BP_FRACTION_DEN = 20   # relative gate: line must appear in >= n_docs/20 docs
+
+
+def _bp_seeded_docs(docs):
+    """Paged derivation of documents with deterministically seeded
+    header / footer / cookie-banner lines (doc_id % 3 / % 4 / % 7) — the
+    corpus the boilerplate detector and stripper run over. The synthetic
+    documents are single-line, so without seeding the frequent-line gate
+    would only fire on exact-duplicate docs; the seeds exercise the
+    positive AND negative paths identically in both engines (the
+    doc_entities_seeded non-vacuity pattern)."""
+    paged = F.regexp_replace(
+        F.col("text"), r"((?:\w+\s+){7}\w+)\s+", "$1.\n")
+
+    def pre(mod: int, seed: str):
+        return (F.when(F.col("doc_id") % mod == 0, F.lit(seed + "\n"))
+                .otherwise(F.lit("")))
+
+    def post(mod: int, seed: str):
+        return (F.when(F.col("doc_id") % mod == 0, F.lit("\n" + seed))
+                .otherwise(F.lit("")))
+
+    seeded = F.concat(pre(3, BP_SEED_HEADER), paged,
+                      post(4, BP_SEED_FOOTER), post(7, BP_SEED_COOKIE))
+    return docs.select("doc_id", seeded.alias("text"))
+
+
+def _bp_frequent_lines(docs):
+    """(line, doc_freq) for normalized (trim+lower) lines whose document
+    frequency clears greatest(BP_MIN_DOCS, n_docs/BP_FRACTION_DEN).
+
+    Scale: per-doc array_distinct compacts map-side BEFORE the explode,
+    so the ONE shuffle is on line hash with partial counts (a line
+    repeated inside one doc costs nothing extra); the relative threshold
+    bounds the qualifying set to <= DEN * avg_lines_per_doc line types
+    regardless of corpus size — that bound is what lets the stripper
+    broadcast the set back. The n_docs scalar rides a 1-row broadcast
+    cross join (never a collect)."""
+    norm = F.transform(F.split(F.col("text"), "\n", -1),
+                       lambda line: F.trim(F.lower(line)))
+    lines = docs.select(
+        F.explode(F.array_distinct(
+            F.filter(norm, lambda line: line != ""))).alias("line"))
+    freq = lines.groupBy("line").agg(
+        F.count("*").cast("long").alias("doc_freq"))
+    tot = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    thr = F.greatest(
+        F.lit(BP_MIN_DOCS).cast("long"),
+        F.floor(F.col("n_docs") / float(BP_FRACTION_DEN)).cast("long"))
+    return (freq.crossJoin(F.broadcast(tot))
+            .filter(F.col("doc_freq") >= thr)
+            .select("line", "doc_freq"))
+
+
+def corpus_boilerplate_lines(spark, sf_dir):
+    """Corpus-statistical boilerplate detection (CCNet, Wenzek et al.
+    2020 — dedup-by-frequent-line): normalized lines shared by many
+    documents ARE the headers/footers/cookie banners. This is the
+    corpus-scale twin of the reference's per-image noise suppression
+    (confidence-thresholded token filtering, ocr_app/core/ocr_engine.py)
+    — at 100 TB the repeated-noise signal is statistical, not per-row.
+    Output: (line, doc_freq) for every line clearing the gate."""
+    return _bp_frequent_lines(_bp_seeded_docs(_docs(spark, sf_dir)))
+
+
+def doc_strip_boilerplate(spark, sf_dir):
+    """Apply the frequent-line gate: remove boilerplate lines from every
+    document. The detected set is aggregated to ONE row (array_sort for
+    determinism) and broadcast — a map-only array_filter per doc after
+    the detection pass; never a per-line anti-join shuffle of the full
+    corpus. Output per doc: line/char in-out accounting + cleaned text."""
+    docs = tracked_cache(_bp_seeded_docs(_docs(spark, sf_dir)))
+    bp = _bp_frequent_lines(docs).agg(
+        F.array_sort(F.collect_set("line")).alias("bp"))
+    lines = F.split(F.col("text"), "\n", -1)
+    kept = F.filter(lines, lambda line: ~F.array_contains(
+        F.col("bp"), F.trim(F.lower(line))))
+    clean = F.concat_ws("\n", kept)
+    return docs.crossJoin(F.broadcast(bp)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.length(F.col("text")).cast("long").alias("chars_in"),
+        F.length(clean).cast("long").alias("chars_out"),
+        clean.alias("clean_text"))
+
+
+# ---------------------------------------------------------------------------
+# Transcript-native analytics over the north-star role/tool columns
+# ---------------------------------------------------------------------------
+
+
+def conversation_role_transitions(spark, sf_dir):
+    """Role-transition matrix (Markov bigram counts) over the transcript
+    table's role sequence: ONE lag window partitioned on conv_id (the
+    same per-conversation order every extraction query uses) feeding a
+    tiny (|roles|^2-key) partial-agg shuffle. Certifies the window+agg
+    composition on the north-star input shape. Output:
+    (prev_role, role, n_transitions)."""
+    t = (spark.read.parquet(ensure_transcripts_for_sf_dir(sf_dir))
+         .select("conv_id", "turn_idx", "role"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (t.select(F.lag("role").over(w).alias("prev_role"),
+                     F.col("role"))
+            .filter(F.col("prev_role").isNotNull())
+            .groupBy("prev_role", "role")
+            .agg(F.count("*").cast("long").alias("n_transitions")))
+
+
+def conversation_tool_stats(spark, sf_dir):
+    """Per-role tool-payload accounting over the transcript `tool`
+    column (the last input_hint column with no dedicated rollup):
+    map-only length projections into a 3-key partial-agg shuffle.
+    Output: (role, n_turns, n_tool_turns, sum_tool_chars,
+    sum_text_chars)."""
+    t = (spark.read.parquet(ensure_transcripts_for_sf_dir(sf_dir))
+         .select("role", "text", "tool"))
+    return t.groupBy("role").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum((F.col("tool") != "").cast("long")).cast("long")
+        .alias("n_tool_turns"),
+        F.sum(F.length("tool")).cast("long").alias("sum_tool_chars"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_chars"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H wave 2 (Q6/Q10/Q13/Q18 shapes over the provided warehouse tables)
+# ---------------------------------------------------------------------------
+
+
+def tpch_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped forecasting-revenue-change: the pure scan-side
+    aggregate — every predicate (shipdate window, discount band,
+    quantity cap) pushes to the parquet scan, then a partial+final agg
+    with NO shuffle of data rows at all (one-row exchange of partials).
+    The canary query for filter pushdown. Output: (n_rows, revenue_c)."""
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast(
+              "timestamp_ntz"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast(
+                      "timestamp_ntz"))
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24.0)))
+    return li.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("long").alias("revenue_c"))
+
+
+def tpch_returned_items(spark, sf_dir, k: int = 20):
+    """TPC-H Q10-shaped returned-item report: revenue lost to returns
+    per customer over a quarter window. lineitem⨝orders shuffles on the
+    orderkey both sides already carry; the customer join shuffles on
+    custkey with NO broadcast hint (customer grows linearly with scale
+    factor — AQE may downgrade at runtime); only nation (fixed 25 rows)
+    is broadcast. Top-k compiles to TakeOrderedAndProject with a
+    custkey tiebreak for determinism. Output:
+    (c_custkey, c_name, n_name, revenue_c)."""
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  _cents(F.col("l_extendedprice")
+                         * (1.0 - F.col("l_discount"))).alias("rev_c")))
+    orders = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .filter((F.col("o_orderdate") >= F.lit("1995-07-01").cast(
+                  "timestamp_ntz"))
+                      & (F.col("o_orderdate") < F.lit("1996-01-01").cast(
+                          "timestamp_ntz")))
+              .select("o_orderkey", "o_custkey"))
+    cust = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+            .select("c_custkey", "c_name", "c_nationkey"))
+    nation = (spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+              .select("n_nationkey", "n_name"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+    return (j.groupBy(F.col("c_custkey").cast("long").alias("c_custkey"),
+                      "c_name", "n_name")
+            .agg(F.sum("rev_c").cast("long").alias("revenue_c"))
+            .orderBy(F.desc("revenue_c"), F.asc("c_custkey")).limit(k))
+
+
+def tpch_large_orders(spark, sf_dir, min_qty: int = 250):
+    """TPC-H Q18-shaped large-volume-customer query: orders whose total
+    line quantity clears a threshold, with their customer. The HAVING
+    side is a map-side-partial sum on the orderkey lineitem already
+    carries; the survivor set (0.01-1% of orders) then drives the
+    orders/customer shuffle joins — both linear tables, no broadcast
+    hints. l_quantity is floored per ROW before the integer sum (DuckDB
+    casts round, Spark casts truncate — floor is the dialect-safe way).
+    Output: (c_custkey, c_name, o_orderkey, o_orderdate, total_c,
+    sum_qty), unordered (the driver compare is order-insensitive)."""
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .select("l_orderkey",
+                  F.floor(F.col("l_quantity")).cast("long").alias("qty")))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("qty").cast("long").alias("sum_qty"))
+           .filter(F.col("sum_qty") > min_qty))
+    orders = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      _cents(F.col("o_totalprice")).alias("total_c")))
+    cust = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+            .select("c_custkey", "c_name"))
+    j = (big.join(orders, big.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey))
+    return j.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_name",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "total_c", "sum_qty")
+
+
+def tpch_custdist(spark, sf_dir):
+    """TPC-H Q13-shaped customer order-count distribution: customer
+    LEFT JOIN orders (zero-order customers MUST survive — count(o) = 0),
+    per-customer order count, then the count-of-counts rollup. One
+    custkey shuffle join of two linearly-growing tables (never a
+    broadcast), one tiny distribution agg. The provided orders table has
+    no comment column, so the classic NOT LIKE '%special%requests%'
+    predicate is documented out rather than faked. Output:
+    (c_count, custdist)."""
+    cust = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+            .select("c_custkey"))
+    orders = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .select("o_custkey"))
+    per = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_custkey").cast("long").alias("c_count")))
+    return per.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist"))
