@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4 wave 2: transcript-native role/tool analytics
         "conversation_role_transitions": q.conversation_role_transitions,
         "conversation_tool_stats": q.conversation_tool_stats,
+        # new in r4 wave 2: per-source curation telemetry + A2-variant
+        # agreement (the reference's multi-variant comparison as a join)
+        "corpus_source_stats": q.corpus_source_stats,
+        "extract_variant_agreement": q.extract_variant_agreement,
         # new in r4 wave 2: TPC-H Q6/Q10/Q13/Q18 shapes
         "tpch_forecast_revenue": q.tpch_forecast_revenue,
         "tpch_returned_items": q.tpch_returned_items,
@@ -1908,6 +1912,41 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(r.s, 0) as bigint) dsir_logw_x1e6
             FROM documents d LEFT JOIN r USING (doc_id)
             WHERE d.doc_id % 31 <> 0""",
+        # Per-source curation telemetry (exact-dup share via md5 group
+        # sizes; quality = per-doc floored x1e6 ints so means are exact).
+        "corpus_source_stats": r"""
+            WITH b AS (
+              SELECT source, lang, md5(text) h,
+                     cast(length(text) as bigint) n_chars,
+                     cast(floor(
+                       (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                           least(1.0, length(text) / 100.0)
+                           * (length(regexp_replace(text, '[^A-Za-z0-9\s]',
+                                                    '', 'g'))
+                              / cast(length(text) as double))
+                        END) * 1000000 + 0.5) as bigint) q_x1e6
+              FROM documents),
+            g AS (SELECT h, cast(count(*) as bigint) group_sz
+                  FROM b GROUP BY h)
+            SELECT source, cast(count(*) as bigint) n_docs,
+                   cast(count(distinct lang) as bigint) n_langs,
+                   cast(sum(n_chars) as bigint) sum_chars,
+                   cast(sum(CASE WHEN g.group_sz > 1 THEN 1 ELSE 0 END)
+                        as bigint) n_dup_docs,
+                   cast(floor(sum(q_x1e6) / cast(count(*) as double))
+                        as bigint) mean_quality_x1e6
+            FROM b JOIN g USING (h) GROUP BY source""",
+        # A2-variant agreement over the v1/v3 goldens.
+        "extract_variant_agreement": f"""
+            SELECT cast(count(*) as bigint) n_turns,
+                   cast(sum(CASE WHEN a.extracted_text = b.extracted_text
+                            THEN 1 ELSE 0 END) as bigint) n_equal,
+                   cast(sum(abs(length(a.extracted_text)
+                                - length(b.extracted_text))) as bigint)
+                       sum_len_delta
+            FROM read_parquet('{_g("boxes_v1")}') a
+            JOIN read_parquet('{_g("boxes_v3")}') b
+              USING (conv_id, turn_idx)""",
         # CCNet frequent-line boilerplate: detection (the gated set)…
         "corpus_boilerplate_lines": f"""
             WITH {_bp_ctes()}

@@ -2646,3 +2646,57 @@ def tpch_custdist(spark, sf_dir):
            .agg(F.count("o_custkey").cast("long").alias("c_count")))
     return per.groupBy("c_count").agg(
         F.count("*").cast("long").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source curation telemetry + extraction-variant agreement
+# ---------------------------------------------------------------------------
+
+
+def corpus_source_stats(spark, sf_dir):
+    """Per-source curation telemetry over the documents table's `source`
+    column — the rollup a 100 TB crawl pipeline watches per domain:
+    doc/lang/char counts, exact-duplicate share, and mean A6 quality.
+    The dup flag reuses the exact-dedup shape (ONE md5 shuffle with
+    map-side partials, group sizes joined back on the same key — no
+    second scan: the md5 frame carries source along); quality is the
+    per-doc floored x1e6 integer so per-source means are exact. Output:
+    (source, n_docs, n_langs, sum_chars, n_dup_docs, mean_quality_x1e6).
+    """
+    score = textfn.score_v1_col(F.col("text"))
+    base = _docs(spark, sf_dir).select(
+        "source", "lang",
+        F.md5(F.col("text")).alias("h"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.floor(score * 1e6 + F.lit(0.5)).cast("long").alias("q_x1e6"))
+    grp = base.groupBy("h").agg(F.count("*").cast("long").alias("group_sz"))
+    j = base.join(grp, "h")
+    return (j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum((F.col("group_sz") > 1).cast("long")).cast("long")
+        .alias("n_dup_docs"),
+        F.floor(F.sum("q_x1e6") / F.count("*")).cast("long")
+        .alias("mean_quality_x1e6")))
+
+
+def extract_variant_agreement(spark, sf_dir):
+    """Cross-variant agreement telemetry: the reference ships three line
+    -clustering variants (A2 v1/v2/v3) and its tests compare their
+    outputs; at corpus scale the same comparison is a join of the two
+    extraction frames on (conv_id, turn_idx) — both sides derive from
+    the SAME cached session extraction, so the join inputs are already
+    co-partitioned and no third scan of the transcripts happens. Output
+    (one row): n_turns, n_equal, sum_len_delta."""
+    v1 = (extract_boxes_v1(spark, sf_dir)
+          .withColumnRenamed("extracted_text", "t1"))
+    v3 = (extract_boxes_v3(spark, sf_dir)
+          .withColumnRenamed("extracted_text", "t3"))
+    j = v1.join(v3, ["conv_id", "turn_idx"])
+    return j.agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum((F.col("t1") == F.col("t3")).cast("long")).cast("long")
+        .alias("n_equal"),
+        F.sum(F.abs(F.length("t1") - F.length("t3"))).cast("long")
+        .alias("sum_len_delta"))

@@ -246,3 +246,36 @@ def quality_gate_stream(spark: SparkSession, source_dir: str,
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def boilerplate_strip_stream(spark: SparkSession, source_dir: str,
+                             bp_lines: list[str], out_dir: str,
+                             checkpoint_dir: str,
+                             await_termination: bool = True):
+    """Streaming twin of the batch `doc_strip_boilerplate` apply pass:
+    the frequent-line set (computed by the batch detector over the
+    reference corpus — CCNet refreshes it per crawl snapshot, not per
+    row) arrives as a bounded literal array, and each streamed turn
+    drops its boilerplate lines via a stateless map-side array_filter —
+    no state, no join, no Python, so at 10^12 turns this rides the same
+    always-on ingest path as the quality gate. Exactly-once across
+    restarts via the file-source checkpoint log."""
+    bset = F.array(*[F.lit(s) for s in sorted(set(bp_lines))])
+    stream = read_transcript_stream(spark, source_dir)
+    lines = F.split(F.col("text"), "\n", -1)
+    kept = F.filter(lines, lambda line: ~F.array_contains(
+        bset, F.trim(F.lower(line))))
+    out = stream.select(
+        "conv_id", "turn_idx",
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"))
+    q = (out.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .outputMode("append")
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -201,3 +201,44 @@ def test_quality_gate_stream_equals_batch(spark, tmp_path, split_source):
     assert got == want
     assert 0 < n_first < len(want), "second run processed only the delta"
     assert len(want) < batch.count(), "the gate actually dropped turns"
+
+
+def test_boilerplate_strip_stream_equals_batch(spark, tmp_path, split_source):
+    """Streaming boilerplate stripping must equal the batch array_filter
+    over the same turns, including a late-arrival second availableNow
+    run (delta-only processing), and must actually drop the gated line."""
+    from pyspark.sql import functions as F
+
+    from ocr_image_to_text_spark.streaming.pipeline import (
+        boilerplate_strip_stream)
+
+    d, t, half = split_source
+    # gated set: the most frequent normalized line across the fixture
+    # plus a never-present control line
+    batch0 = spark.read.parquet(str(d))
+    top = (batch0.select(F.explode(F.split("text", "\n", -1)).alias("l"))
+           .select(F.trim(F.lower("l")).alias("l")).filter(F.col("l") != "")
+           .groupBy("l").count().orderBy(F.desc("count"), "l").limit(1)
+           .collect())
+    bp = [top[0]["l"], "never present control line"]
+
+    out, ckpt = str(tmp_path / "bpout"), str(tmp_path / "bpckpt")
+    boilerplate_strip_stream(spark, str(d), bp, out, ckpt)
+    pq.write_table(t.slice(half), str(d / "part-1.parquet"))
+    boilerplate_strip_stream(spark, str(d), bp, out, ckpt)
+
+    got = {(r.conv_id, r.turn_idx): (r.clean_text, r.n_lines, r.n_kept_lines)
+           for r in spark.read.parquet(out).collect()}
+    batch = spark.read.parquet(str(d))
+    bset = F.array(*[F.lit(s) for s in sorted(set(bp))])
+    lines = F.split(F.col("text"), "\n", -1)
+    kept = F.filter(lines, lambda line: ~F.array_contains(
+        bset, F.trim(F.lower(line))))
+    want = {(r.conv_id, r.turn_idx): (r.ct, r.nl, r.nk)
+            for r in batch.select(
+                "conv_id", "turn_idx",
+                F.concat_ws("\n", kept).alias("ct"),
+                F.size(lines).cast("long").alias("nl"),
+                F.size(kept).cast("long").alias("nk")).collect()}
+    assert got == want
+    assert any(nl != nk for (_, nl, nk) in got.values())  # gate really fired
