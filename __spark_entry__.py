@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4 wave 2: transcript-native role/tool analytics
         "conversation_role_transitions": q.conversation_role_transitions,
         "conversation_tool_stats": q.conversation_tool_stats,
+        # new in r4 wave 2: per-turn DOM link-density telemetry (the
+        # north-star heuristic as a queryable rollup)
+        "turn_link_density": q.turn_link_density,
         # new in r4 wave 2: per-source curation telemetry + A2-variant
         # agreement (the reference's multi-variant comparison as a join)
         "corpus_source_stats": q.corpus_source_stats,
@@ -1912,6 +1915,36 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(r.s, 0) as bigint) dsir_logw_x1e6
             FROM documents d LEFT JOIN r USING (doc_id)
             WHERE d.doc_id % 31 <> 0""",
+        # Per-turn DOM link-density telemetry: same regexes over the raw
+        # transcript text, html turns selected via the golden's kind.
+        "turn_link_density": f"""
+            WITH h AS (
+              SELECT t.conv_id, t.turn_idx, t.text
+              FROM read_parquet('{_tp}') t
+              JOIN read_parquet('{_g("extract")}') g
+                USING (conv_id, turn_idx)
+              WHERE g.kind = 'html')
+            SELECT conv_id, turn_idx,
+                   cast(len(regexp_extract_all(text, '<[^>]*>'))
+                        as bigint) n_tags,
+                   cast(length(regexp_replace(text, '<[^>]*>', '', 'g'))
+                        as bigint) text_chars,
+                   cast(coalesce(list_sum(list_transform(
+                        regexp_extract_all(text, '(?is)<a[^>]*>(.*?)</a>', 1),
+                        x -> length(regexp_replace(x, '<[^>]*>', '', 'g')))),
+                        0) as bigint) anchor_chars,
+                   cast(CASE WHEN length(regexp_replace(text, '<[^>]*>', '',
+                                                        'g')) > 0
+                        THEN floor(1000000.0 * coalesce(list_sum(
+                             list_transform(
+                               regexp_extract_all(text,
+                                   '(?is)<a[^>]*>(.*?)</a>', 1),
+                               x -> length(regexp_replace(x, '<[^>]*>', '',
+                                                          'g')))), 0)
+                             / length(regexp_replace(text, '<[^>]*>', '',
+                                                     'g')))
+                        ELSE 0 END as bigint) link_density_x1e6
+            FROM h""",
         # Per-source curation telemetry (exact-dup share via md5 group
         # sizes; quality = per-doc floored x1e6 ints so means are exact).
         "corpus_source_stats": r"""

@@ -2700,3 +2700,42 @@ def extract_variant_agreement(spark, sf_dir):
         .alias("n_equal"),
         F.sum(F.abs(F.length("t1") - F.length("t3"))).cast("long")
         .alias("sum_len_delta"))
+
+
+def turn_link_density(spark, sf_dir):
+    """Per-turn DOM link-density telemetry for HTML payloads — the
+    north-star heuristic (text-density / link-density boilerplate
+    scoring, the htmlx scanner's decision signal) exposed as a queryable
+    rollup: tag count, tag-stripped text chars, anchor-text chars, and
+    link density (anchor chars / text chars, x1e6 floored). Pure JVM
+    regex expressions over the raw turn text gated by the F5 kind
+    sniffer — map-only, zero shuffle, partition-count preserving at any
+    corpus size. The oracle re-derives the same numbers in DuckDB from
+    the raw transcripts joined to the golden's kind column (sniffer ≡
+    golden kind is separately certified by extract_kind_metrics).
+    Output: (conv_id, turn_idx, n_tags, text_chars, anchor_chars,
+    link_density_x1e6)."""
+    from .operators.extract import kind_col
+
+    t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text",
+                                           "tool")
+    h = t.filter(kind_col() == "html")
+    strip = F.regexp_replace(F.col("text"), r"<[^>]*>", "")
+    anchors = F.regexp_extract_all(
+        F.col("text"), F.lit(r"(?is)<a[^>]*>(.*?)</a>"), 1)
+    anchor_chars = F.aggregate(
+        anchors, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(F.regexp_replace(x, r"<[^>]*>", "")))
+    n_tags = F.size(F.regexp_extract_all(F.col("text"),
+                                         F.lit(r"<[^>]*>"), 0))
+    text_chars = F.length(strip)
+    dens = F.when(text_chars > 0,
+                  F.floor(F.lit(1e6) * anchor_chars / text_chars)
+                  ).otherwise(F.lit(0))
+    return h.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        n_tags.cast("long").alias("n_tags"),
+        text_chars.cast("long").alias("text_chars"),
+        anchor_chars.cast("long").alias("anchor_chars"),
+        dens.cast("long").alias("link_density_x1e6"))
