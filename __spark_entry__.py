@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4 wave 2: transcript-native role/tool analytics
         "conversation_role_transitions": q.conversation_role_transitions,
         "conversation_tool_stats": q.conversation_tool_stats,
+        # new in r4 wave 2: A-ES weighted sampling + corpus token entropy
+        "corpus_sample_weighted": q.corpus_sample_weighted,
+        "corpus_token_entropy": q.corpus_token_entropy,
         # new in r4 wave 2: per-turn DOM link-density telemetry (the
         # north-star heuristic as a queryable rollup)
         "turn_link_density": q.turn_link_density,
@@ -1915,6 +1918,39 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(r.s, 0) as bigint) dsir_logw_x1e6
             FROM documents d LEFT JOIN r USING (doc_id)
             WHERE d.doc_id % 31 <> 0""",
+        # A-ES weighted sampling: same md5 coin, division-first ln on
+        # the 1e6 grid, top-k with doc_id tiebreak.
+        "corpus_sample_weighted": f"""
+            WITH b AS (
+              SELECT cast(doc_id as bigint) doc_id,
+                     greatest(1, len(regexp_extract_all(lower(text),
+                                                        '\\w+'))) n_tokens,
+                     (({_md5_prefix_int_sql("cast(doc_id as varchar)")})
+                      % 1000000 + 1) / 1000000.0 u
+              FROM documents)
+            SELECT doc_id, cast(n_tokens as bigint) n_tokens,
+                   cast(floor(1000000.0 * ln(u) / n_tokens) as bigint)
+                       key_x1e6
+            FROM b ORDER BY key_x1e6 DESC, doc_id ASC LIMIT 100""",
+        # Token entropy: H = ln N − (Σ n·ln n)/N, every term floored on
+        # the 1e6 grid before the order-independent integer sum.
+        "corpus_token_entropy": r"""
+            WITH tf AS (
+              SELECT u.t token, cast(count(*) as bigint) n
+              FROM documents,
+                   unnest(regexp_extract_all(lower(text), '\w+')) u(t)
+              GROUP BY u.t),
+            a AS (SELECT cast(sum(n) as bigint) n_tokens,
+                         cast(count(*) as bigint) vocab_size,
+                         cast(sum(cast(floor(1000000.0 * n * ln(n) + 0.5)
+                                       as bigint)) as bigint)
+                             sum_nlogn_x1e6
+                  FROM tf)
+            SELECT n_tokens, vocab_size, sum_nlogn_x1e6,
+                   cast(floor(1000000.0 * ln(n_tokens) + 0.5)
+                        - floor(sum_nlogn_x1e6 / n_tokens) as bigint)
+                       entropy_x1e6
+            FROM a""",
         # Per-turn DOM link-density telemetry: same regexes over the raw
         # transcript text, html turns selected via the golden's kind.
         "turn_link_density": f"""

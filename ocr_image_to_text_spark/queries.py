@@ -2739,3 +2739,57 @@ def turn_link_density(spark, sf_dir):
         text_chars.cast("long").alias("text_chars"),
         anchor_chars.cast("long").alias("anchor_chars"),
         dens.cast("long").alias("link_density_x1e6"))
+
+
+def corpus_sample_weighted(spark, sf_dir, k: int = 100):
+    """Weighted sampling without replacement (Efraimidis & Spirtakis
+    2006, the A-ES exponential-key family): each doc draws a
+    deterministic uniform u from its md5 coin and ranks by ln(u)/w with
+    w = its token count; the top-k by that key IS a weighted sample
+    without replacement. Distributed shape: map-only key computation
+    (no RNG state, no driver), TakeOrderedAndProject top-k
+    (per-partition heads + k·p merge — never a global sort); rerunning
+    at ANY partitioning yields the identical sample. Key floored once
+    on the 1e6 grid (division-first ln — the DSIR rounding convention)
+    so both engines agree bit-for-bit. Output:
+    (doc_id, n_tokens, key_x1e6)."""
+    docs = _docs(spark, sf_dir)
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("long") % 1000000) + 1) / 1000000.0
+    w = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit(r"\w+"), 0)).cast("long"))
+    key = F.floor(F.lit(1000000.0) * F.log(u) / w).cast("long")
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        w.alias("n_tokens"), key.alias("key_x1e6"))
+            .orderBy(F.desc("key_x1e6"), F.asc("doc_id")).limit(k))
+
+
+def corpus_token_entropy(spark, sf_dir):
+    """Shannon entropy of the corpus token distribution — the classic
+    corpus-health diagnostic (templated/duplicated corpora collapse it;
+    it upper-bounds the gain any compressor/LM can extract). Identity
+    used: H = ln N − (Σ n·ln n)/N over per-type counts, so it reuses
+    the compacted-tf shape: occurrence stream folds to per-type counts
+    map-side before the ONE token shuffle; each n·ln n term is floored
+    per TYPE on the 1e6 grid so the corpus sum is an order-independent
+    integer, and the final entropy composes already-floored integers
+    only. Output: (n_tokens, vocab_size, sum_nlogn_x1e6, entropy_x1e6).
+    """
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
+    tf = docs.select(tok.alias("token")).groupBy("token").agg(
+        F.count("*").cast("long").alias("n"))
+    agg = tf.agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(F.floor(F.lit(1000000.0) * F.col("n") * F.log(F.col("n"))
+                      + F.lit(0.5)))
+        .cast("long").alias("sum_nlogn_x1e6"))
+    return agg.select(
+        "n_tokens", "vocab_size", "sum_nlogn_x1e6",
+        (F.floor(F.lit(1000000.0) * F.log(F.col("n_tokens")) + F.lit(0.5))
+         - F.floor(F.col("sum_nlogn_x1e6") / F.col("n_tokens")))
+        .cast("long").alias("entropy_x1e6"))

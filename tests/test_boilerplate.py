@@ -125,3 +125,41 @@ def test_tpch_wave2_plan_shapes(spark):
     # nation may broadcast; the linear tables must not carry a hint —
     # with AQE off at analysis time they stay shuffle joins.
     assert "broadcast(customer" not in plan.lower()
+
+
+@needs_testdata
+def test_weighted_sample_partitioning_invariant(spark):
+    """The A-ES sample must be a pure function of the data — identical
+    at any partitioning — and must compile to TakeOrderedAndProject,
+    never a global sort."""
+    from ocr_image_to_text_spark.queries import corpus_sample_weighted
+
+    base = corpus_sample_weighted(spark, SF)
+    assert "TakeOrderedAndProject" in _plan(base)
+    rows = {tuple(r) for r in base.collect()}
+
+    import ocr_image_to_text_spark.queries as q
+    from pyspark.sql import functions as F
+    docs = q._docs(spark, SF)
+    for n in (1, 13):
+        u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10).cast("long")
+              % 1000000) + 1) / 1000000.0
+        w = F.greatest(
+            F.lit(1).cast("long"),
+            F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                        F.lit(r"\w+"), 0)).cast("long"))
+        key = F.floor(F.lit(1000000.0) * F.log(u) / w).cast("long")
+        got = {tuple(r) for r in docs.repartition(n)
+               .select(F.col("doc_id").cast("long").alias("doc_id"),
+                       w.alias("n_tokens"), key.alias("key_x1e6"))
+               .orderBy(F.desc("key_x1e6"), F.asc("doc_id")).limit(100)
+               .collect()}
+        assert got == rows
+    # weighting sanity: the sample's mean token count exceeds the
+    # corpus mean (longer docs draw less-negative ln(u)/w keys)
+    from pyspark.sql import functions as F2
+    corpus_mean = docs.agg(F2.avg(F2.size(F2.regexp_extract_all(
+        F2.lower(F2.col("text")), F2.lit(r"\w+"), 0)))).first()[0]
+    sample_mean = sum(r[1] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
