@@ -258,6 +258,58 @@ AUDITS = [
     # grams (top-gram is a max(struct) aggregate), no self-join
     ("doc_repetition_signals", ["Generate", "HashAggregate|SortAggregate"],
      ["Python", "CartesianProduct", "Window"]),
+    # r4 wave 2 — CCNet boilerplate: detection is one explode into a
+    # line-hash agg + 1-row broadcast threshold; application broadcasts
+    # the gated set (map-only per doc, never a per-line anti-join)
+    ("corpus_boilerplate_lines",
+     ["Generate", "HashAggregate|SortAggregate",
+      "BroadcastExchange|BroadcastNestedLoopJoin"],
+     ["Python", "SortMergeJoin", "Window"]),
+    ("doc_strip_boilerplate",
+     ["BroadcastExchange|BroadcastNestedLoopJoin"],
+     ["Python", "SortMergeJoin", "Window"]),
+    # link-density telemetry: pure JVM regex projection — no shuffle
+    # beyond the (small-SF) spread repartition, no Python, no join
+    ("turn_link_density", ["Project", "ReadSchema"],
+     ["Python", "Join", "Window", "HashAggregate"]),
+    # transcript role/tool rollups: one window / one tiny agg
+    ("conversation_role_transitions", ["Window", "HashAggregate"],
+     ["Python", "Join"]),
+    ("conversation_tool_stats", ["HashAggregate"],
+     ["Python", "Join", "Window"]),
+    # per-source telemetry: md5 group sizes joined back on the ONE
+    # dedup shuffle key, then the source rollup
+    ("corpus_source_stats",
+     ["HashAggregate|SortAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["Python", "CartesianProduct", "Window"]),
+    # A-ES weighted sample: map-only keys + TakeOrdered (never a global
+    # sort); entropy: one token shuffle of compacted per-type counts
+    ("corpus_sample_weighted", ["TakeOrderedAndProject"],
+     ["Python", "Join", "Window"]),
+    ("corpus_token_entropy", ["Generate", "HashAggregate|SortAggregate"],
+     ["Python", "Join", "Window"]),
+    # TPC-H wave 2: Q6 is scan+agg only; Q10 top-k via TakeOrdered with
+    # shuffle joins on the linear tables; Q13 left join survives; Q18's
+    # HAVING gate is a partial-agg before its joins
+    ("tpch_forecast_revenue", ["HashAggregate", "PushedFilters|ReadSchema"],
+     ["Python", "Join", "Generate"]),
+    ("tpch_returned_items",
+     ["TakeOrderedAndProject",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["Python", "CartesianProduct"]),
+    ("tpch_custdist",
+     ["HashAggregate", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["Python", "CartesianProduct", "Window"]),
+    ("tpch_large_orders",
+     ["HashAggregate", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["Python", "CartesianProduct", "Window"]),
+    # variant agreement: a join of two frames off the SAME cached
+    # extraction (InMemoryTableScan), one scalar agg
+    ("extract_variant_agreement",
+     ["HashAggregate|SortAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["CartesianProduct"]),
 ]
 
 
