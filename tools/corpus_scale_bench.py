@@ -42,6 +42,16 @@ LINEAR = [
     ("corpus_pipeline_v3", q.corpus_pipeline_v3),
 ]
 QUADRATIC = [("emb_dup_pairs", q.emb_dup_pairs)]
+# r4 wave 2 — documents-family additions (all claimed ~O(tokens) or
+# O(lines) with one keyed shuffle; the boilerplate pair adds a 1-row
+# broadcast threshold/set):
+WAVE2 = [
+    ("corpus_boilerplate_lines", q.corpus_boilerplate_lines),
+    ("doc_strip_boilerplate", q.doc_strip_boilerplate),
+    ("corpus_source_stats", q.corpus_source_stats),
+    ("corpus_sample_weighted", q.corpus_sample_weighted),
+    ("corpus_token_entropy", q.corpus_token_entropy),
+]
 
 
 def timed(spark, fn, sf_dir) -> float:
@@ -58,7 +68,8 @@ def main() -> None:
     if not os.path.exists(os.path.join(SF1, "documents.parquet")):
         raise SystemExit("run tools/gen_sf1_corpus.py first")
     spark = get_spark("corpus-scale", master="local[32]")
-    fam = LINEAR + ([] if skip_quad else QUADRATIC)
+    fam = (WAVE2 if "--wave2" in sys.argv
+           else LINEAR + ([] if skip_quad else QUADRATIC))
     out = {}
     for name, fn in fam:
         timed(spark, fn, SF01)  # warm JIT/page cache on the small tier
