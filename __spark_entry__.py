@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4 wave 2: transcript-native role/tool analytics
         "conversation_role_transitions": q.conversation_role_transitions,
         "conversation_tool_stats": q.conversation_tool_stats,
+        # new in r4 wave 2: MinHash-LSH recall eval (dedup twin of
+        # ann_ivf_recall — certifies the quality-measurement op)
+        "dedup_minhash_recall": q.dedup_minhash_recall,
         # new in r4 wave 2: A-ES weighted sampling + corpus token entropy
         "corpus_sample_weighted": q.corpus_sample_weighted,
         "corpus_token_entropy": q.corpus_token_entropy,
@@ -1918,6 +1921,30 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(r.s, 0) as bigint) dsir_logw_x1e6
             FROM documents d LEFT JOIN r USING (doc_id)
             WHERE d.doc_id % 31 <> 0""",
+        # MinHash-LSH recall vs the exact Jaccard pair set (shared
+        # shingle/jaccard/signature fragments; LEFT JOIN counts misses).
+        "dedup_minhash_recall": f"""
+            WITH {_SHINGLES},
+            sig AS (SELECT doc_id,
+          {sigs}
+                FROM shl),
+            bands AS (
+  {bands}),
+            cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db
+                     FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.band_key = y.band_key
+                        AND x.doc_id < y.doc_id),
+            l AS (SELECT cand.da, cand.db
+                  FROM cand JOIN jac ON cand.da = jac.da AND cand.db = jac.db
+                  WHERE jac.jacc_x1000 >= 100),
+            e AS (SELECT da, db FROM jac WHERE jacc_x1000 >= 100)
+            SELECT cast(count(*) as bigint) n_true_pairs,
+                   cast(sum(CASE WHEN l.da IS NOT NULL THEN 1 ELSE 0 END)
+                        as bigint) n_recalled,
+                   cast(floor(1000000.0
+                        * sum(CASE WHEN l.da IS NOT NULL THEN 1 ELSE 0 END)
+                        / count(*)) as bigint) recall_x1e6
+            FROM e LEFT JOIN l ON e.da = l.da AND e.db = l.db""",
         # A-ES weighted sampling: same md5 coin, division-first ln on
         # the 1e6 grid, top-k with doc_id tiebreak.
         "corpus_sample_weighted": f"""

@@ -2793,3 +2793,27 @@ def corpus_token_entropy(spark, sf_dir):
         (F.floor(F.lit(1000000.0) * F.log(F.col("n_tokens")) + F.lit(0.5))
          - F.floor(F.col("sum_nlogn_x1e6") / F.col("n_tokens")))
         .cast("long").alias("entropy_x1e6"))
+
+
+def dedup_minhash_recall(spark, sf_dir):
+    """MinHash-LSH quality eval — the dedup counterpart of
+    `ann_ivf_recall`: measured recall of the banded candidate generation
+    against the exact Jaccard-threshold pair set (Broder 1997 resemblance
+    / Leskovec-Rajaraman-Ullman ch.3 eval convention). Precision is 1 by
+    construction (LSH pairs are exact-verified), so the certified number
+    is recall: |LSH ∩ exact| / |exact|. By-declaration exact on the
+    ground-truth side (the df-uncapped inverted-index join — this query
+    exists to certify recall, the LSH path is the scale path); the LSH
+    side is the production single-pass band explode. Output (one row):
+    (n_true_pairs, n_recalled, recall_x1e6)."""
+    docs = _docs(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(docs)
+    lsh = (dedup.minhash_lsh_pairs(docs)
+           .select("doc_a", "doc_b", F.lit(1).alias("hit")))
+    j = exact.join(lsh, ["doc_a", "doc_b"], "left")
+    rec = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return j.agg(
+        F.count("*").cast("long").alias("n_true_pairs"),
+        rec.cast("long").alias("n_recalled"),
+        F.floor(F.lit(1000000.0) * rec / F.count("*")).cast("long")
+        .alias("recall_x1e6"))
