@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4 wave 2: transcript-native role/tool analytics
         "conversation_role_transitions": q.conversation_role_transitions,
         "conversation_tool_stats": q.conversation_tool_stats,
+        # new in r4 wave 2: product quantization (Jégou 2011) beside SQ8
+        "emb_pq_encode": q.emb_pq_encode,
         # new in r4 wave 2: MinHash-LSH recall eval (dedup twin of
         # ann_ivf_recall — certifies the quality-measurement op)
         "dedup_minhash_recall": q.dedup_minhash_recall,
@@ -409,6 +411,48 @@ def _c4_seeded_ctes() -> str:
                      coalesce(array_to_string(kept, chr(10)), '') clean_text,
                      has_lorem, has_brace
               FROM k)"""
+
+
+def _pq_sql(m: int = 4, ksub: int = 16, dim: int = 64) -> str:
+    """DuckDB twin of emb_pq_encode: per-subspace seed codebooks,
+    integer micro-unit squared-L2 argmin (row_number with cid tiebreak —
+    exact, no float ties), m-way vec_id re-join."""
+    dsub = dim // m
+    ctes = ["b AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)"]
+    for s in range(m):
+        lo = s * dsub + 1
+        ctes.append(
+            f"sb{s} AS (SELECT vec_id, list_slice(e, {lo}, {lo + dsub - 1})"
+            f" se FROM b)")
+        ctes.append(
+            f"c{s} AS (SELECT vec_id cid, se ce FROM sb{s}"
+            f" WHERE vec_id < {ksub})")
+        ctes.append(f"""ad{s} AS (
+              SELECT v.vec_id, c.cid,
+                     cast(list_sum(list_transform(
+                       list_transform(generate_series(1, {dsub}),
+                         i -> cast(floor(v.se[i] * 1000000.0) as bigint)
+                              - cast(floor(c.ce[i] * 1000000.0) as bigint)),
+                       t -> t * t)) as bigint) d
+              FROM sb{s} v, c{s} c)""")
+        ctes.append(f"""k{s} AS (
+              SELECT vec_id, cid, d FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d, cid) rn FROM ad{s})
+              WHERE rn = 1)""")
+    codes = ",\n                   ".join(
+        f"cast(k{s}.cid as bigint) code{s}" for s in range(m))
+    err = " + ".join(f"k{s}.d" for s in range(m))
+    joins = "\n            ".join(
+        f"JOIN k{s} USING (vec_id)" for s in range(1, m))
+    cte_block = ",\n            ".join(ctes)
+    return f"""
+            WITH {cte_block}
+            SELECT cast(vec_id as bigint) vec_id,
+                   {codes},
+                   cast({err} as bigint) err_microsq
+            FROM k0
+            {joins}"""
 
 
 def _bp_ctes() -> str:
@@ -1921,6 +1965,8 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(r.s, 0) as bigint) dsir_logw_x1e6
             FROM documents d LEFT JOIN r USING (doc_id)
             WHERE d.doc_id % 31 <> 0""",
+        # Product quantization: generated per-subspace twin.
+        "emb_pq_encode": _pq_sql(),
         # MinHash-LSH recall vs the exact Jaccard pair set (shared
         # shingle/jaccard/signature fragments; LEFT JOIN counts misses).
         "dedup_minhash_recall": f"""

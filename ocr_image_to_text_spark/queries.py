@@ -2817,3 +2817,11 @@ def dedup_minhash_recall(spark, sf_dir):
         rec.cast("long").alias("n_recalled"),
         F.floor(F.lit(1000000.0) * rec / F.count("*")).cast("long")
         .alias("recall_x1e6"))
+
+
+def emb_pq_encode(spark, sf_dir):
+    """Product quantization over the embeddings table (Jégou et al.
+    2011) — m=4 subspaces × 16 codewords; see similarity.pq_encode for
+    the codebook convention and the 10^9-vector scale notes."""
+    emb, dim = _emb(spark, sf_dir)
+    return similarity.pq_encode(emb, m=4, ksub=16, dim=dim)

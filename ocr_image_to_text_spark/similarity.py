@@ -572,3 +572,63 @@ def lsh_bucket_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
                 F.col("vec_id").cast("long").alias("neighbor_id"),
                 F.floor(F.col("cos_r") * 1e9 + F.lit(0.5)).cast("long").alias("cos_x1e9"))
     )
+
+
+def pq_encode(emb: DataFrame, m: int = 4, ksub: int = 16,
+              dim: int = EMB_DIM) -> DataFrame:
+    """Product-quantization encode (Jégou, Douze & Schmid, TPAMI 2011):
+    split each vector into m subspaces, quantize each sub-vector to its
+    nearest of ksub per-subspace codewords, emit the m-code row plus the
+    exact reconstruction error — the standard memory-bound ANN
+    compression (64 dims × 8 B → m small codes + a shared KB-scale
+    codebook) one step beyond the suite's SQ8 affine quantizer.
+
+    Codebook: per subspace, the sub-vectors of the ksub smallest vec_ids
+    (the coarse_centroids n_iters=0 seed convention — codebook TRAINING
+    quality is the same documented model boundary; Lloyd refinement
+    plugs in via coarse_centroids over the sliced frame). Scale shape:
+    each codebook is ksub×(dim/m) doubles — broadcast; per-subspace
+    assignment is a map-side broadcast join whose argmin shuffles
+    (vec_id, struct(d, cid)) rows — never vectors — and the m code
+    frames re-join on the one vec_id key. Distances are squared L2 in
+    integer micro-units per dimension ((floor(e·1e6) − floor(c·1e6))²,
+    exact longs), so the argmin has NO float ties and both engines
+    agree bit-for-bit; the per-subspace argmin distance IS the exact
+    reconstruction error, so the total is a sum of already-exact longs.
+    Output: (vec_id, code0..code{m-1}, err_microsq)."""
+    dsub = dim // m
+    base = tracked_cache(emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_e")))
+    parts = []
+    for s in range(m):
+        sub = F.slice(F.col("_e"), s * dsub + 1, dsub)
+        sb = base.select("vec_id", sub.alias("_se"))
+        cent = (sb.filter(F.col("vec_id") < ksub)
+                .select(F.col("vec_id").cast("int").alias("cid"),
+                        F.col("_se").alias("_ce")))
+        dist = F.lit(0).cast("long")
+        for d in range(dsub):
+            t = (F.floor(F.col("_se").getItem(d) * F.lit(1000000.0))
+                 .cast("long")
+                 - F.floor(F.col("_ce").getItem(d) * F.lit(1000000.0))
+                 .cast("long"))
+            dist = dist + t * t
+        ad = sb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", dist.alias("d"))
+        parts.append(
+            ad.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).alias("mn"))
+            .select("vec_id",
+                    F.col("mn.cid").cast("long").alias(f"code{s}"),
+                    F.col("mn.d").cast("long").alias(f"_err{s}")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, "vec_id")
+    err = None
+    for s in range(m):
+        c = F.col(f"_err{s}")
+        err = c if err is None else err + c
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        *[F.col(f"code{s}") for s in range(m)],
+        err.cast("long").alias("err_microsq"))
