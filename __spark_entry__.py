@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4 wave 2: transcript-native role/tool analytics
         "conversation_role_transitions": q.conversation_role_transitions,
         "conversation_tool_stats": q.conversation_tool_stats,
+        # new in r4 wave 2: the wave-2 composition pipeline
+        "corpus_pipeline_v4": q.corpus_pipeline_v4,
         # new in r4 wave 2: product quantization (Jégou 2011) beside SQ8
         "emb_pq_encode": q.emb_pq_encode,
         # new in r4 wave 2: MinHash-LSH recall eval (dedup twin of
@@ -1965,6 +1967,55 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(r.s, 0) as bigint) dsir_logw_x1e6
             FROM documents d LEFT JOIN r USING (doc_id)
             WHERE d.doc_id % 31 <> 0""",
+        # Pipeline v4: boilerplate strip → Gopher gate → A-ES sample,
+        # every stage restated from its certified fragment.
+        "corpus_pipeline_v4": f"""
+            WITH {_bp_ctes()},
+            bset AS (SELECT coalesce(list(line), []) bls FROM bp),
+            cleaned AS (
+              SELECT doc_id,
+                     coalesce(array_to_string(list_filter(
+                       string_split(text, chr(10)),
+                       x -> NOT list_contains(bls, trim(lower(x)))),
+                       chr(10)), '') AS text
+              FROM seeded, bset),
+            gm AS (
+              SELECT doc_id, text,
+                     cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END as bigint) n_words,
+                     cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          as bigint) alpha,
+                     cast(len(string_split(text, chr(10))) as bigint) nl,
+                     cast(len(string_split(text, chr(10)))
+                          - len(list_distinct(string_split(text, chr(10))))
+                          as bigint) ndl,
+                     cast(len(list_filter(
+                            ['the','a','and','of','to','is','in','that','it'],
+                            w -> list_contains(
+                              list_distinct(regexp_extract_all(lower(text),
+                                                               '\\w+')),
+                              w))) as bigint) n_stop
+              FROM cleaned),
+            gated AS (
+              SELECT doc_id, text FROM gm
+              WHERE n_words >= 50
+                AND (CASE WHEN n_words = 0 THEN 0
+                     ELSE floor(1000.0 * alpha / n_words) END)
+                    BETWEEN 3000 AND 10000
+                AND floor(1000.0 * ndl / nl) <= 300
+                AND n_stop >= 2),
+            keyed AS (
+              SELECT cast(doc_id as bigint) doc_id,
+                     greatest(1, len(regexp_extract_all(lower(text),
+                                                        '\\w+'))) n_tokens,
+                     (({_md5_prefix_int_sql("cast(doc_id as varchar)")})
+                      % 1000000 + 1) / 1000000.0 u
+              FROM gated)
+            SELECT doc_id, cast(n_tokens as bigint) n_tokens,
+                   cast(floor(1000000.0 * ln(u) / n_tokens) as bigint)
+                       key_x1e6
+            FROM keyed ORDER BY key_x1e6 DESC, doc_id ASC LIMIT 50""",
         # Product quantization: generated per-subspace twin.
         "emb_pq_encode": _pq_sql(),
         # MinHash-LSH recall vs the exact Jaccard pair set (shared

@@ -2825,3 +2825,35 @@ def emb_pq_encode(spark, sf_dir):
     the codebook convention and the 10^9-vector scale notes."""
     emb, dim = _emb(spark, sf_dir)
     return similarity.pq_encode(emb, m=4, ksub=16, dim=dim)
+
+
+def corpus_pipeline_v4(spark, sf_dir, k: int = 50):
+    """Curation pipeline v4 — the wave-2 composition: CCNet boilerplate
+    strip (frequent-line gate, broadcast set) → Gopher quality gate ON
+    THE STRIPPED TEXT → A-ES weighted sample of the survivors (top-k by
+    deterministic exponential key, weight = surviving token count). One
+    DAG: detection's single line shuffle + 1-row broadcasts, map-only
+    strip and gate, TakeOrdered sample — no other exchange touches the
+    corpus. This is the shape a 100 TB pretraining prep run takes when
+    the training budget is smaller than the cleaned corpus: clean, gate,
+    then sample proportionally to surviving content. Output:
+    (doc_id, n_tokens, key_x1e6)."""
+    docs = tracked_cache(_bp_seeded_docs(_docs(spark, sf_dir)))
+    bp = _bp_frequent_lines(docs).agg(
+        F.array_sort(F.collect_set("line")).alias("bp"))
+    lines = F.split(F.col("text"), "\n", -1)
+    kept = F.filter(lines, lambda line: ~F.array_contains(
+        F.col("bp"), F.trim(F.lower(line))))
+    cleaned = docs.crossJoin(F.broadcast(bp)).select(
+        "doc_id", F.concat_ws("\n", kept).alias("text"))
+    gated = cleaned.filter(_gopher_metrics(F.col("text"))["keep"])
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("long") % 1000000) + 1) / 1000000.0
+    w = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit(r"\w+"), 0)).cast("long"))
+    key = F.floor(F.lit(1000000.0) * F.log(u) / w).cast("long")
+    return (gated.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         w.alias("n_tokens"), key.alias("key_x1e6"))
+            .orderBy(F.desc("key_x1e6"), F.asc("doc_id")).limit(k))
