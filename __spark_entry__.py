@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline_v4": q.corpus_pipeline_v4,
         # new in r4 wave 2: product quantization (Jégou 2011) beside SQ8
         "emb_pq_encode": q.emb_pq_encode,
+        "ann_pq_adc_topk": q.ann_pq_adc_topk,
         # new in r4 wave 2: MinHash-LSH recall eval (dedup twin of
         # ann_ivf_recall — certifies the quality-measurement op)
         "dedup_minhash_recall": q.dedup_minhash_recall,
@@ -415,10 +416,19 @@ def _c4_seeded_ctes() -> str:
               FROM k)"""
 
 
-def _pq_sql(m: int = 4, ksub: int = 16, dim: int = 64) -> str:
-    """DuckDB twin of emb_pq_encode: per-subspace seed codebooks,
-    integer micro-unit squared-L2 argmin (row_number with cid tiebreak —
-    exact, no float ties), m-way vec_id re-join."""
+def _pq_micro_sqdist_sql(x: str, y: str, dsub: int) -> str:
+    """Integer micro-unit squared-L2 between two DuckDB list exprs."""
+    return (f"cast(list_sum(list_transform("
+            f"list_transform(generate_series(1, {dsub}),"
+            f" i -> cast(floor({x}[i] * 1000000.0) as bigint)"
+            f" - cast(floor({y}[i] * 1000000.0) as bigint)),"
+            f" t -> t * t)) as bigint)")
+
+
+def _pq_ctes(m: int, ksub: int, dim: int) -> list[str]:
+    """Shared PQ CTEs: base, per-subspace slices, seed codebooks, and
+    argmin code frames k{s} (row_number with cid tiebreak — exact,
+    no float ties)."""
     dsub = dim // m
     ctes = ["b AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)"]
     for s in range(m):
@@ -431,17 +441,20 @@ def _pq_sql(m: int = 4, ksub: int = 16, dim: int = 64) -> str:
             f" WHERE vec_id < {ksub})")
         ctes.append(f"""ad{s} AS (
               SELECT v.vec_id, c.cid,
-                     cast(list_sum(list_transform(
-                       list_transform(generate_series(1, {dsub}),
-                         i -> cast(floor(v.se[i] * 1000000.0) as bigint)
-                              - cast(floor(c.ce[i] * 1000000.0) as bigint)),
-                       t -> t * t)) as bigint) d
+                     {_pq_micro_sqdist_sql("v.se", "c.ce", dsub)} d
               FROM sb{s} v, c{s} c)""")
         ctes.append(f"""k{s} AS (
               SELECT vec_id, cid, d FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY vec_id ORDER BY d, cid) rn FROM ad{s})
               WHERE rn = 1)""")
+    return ctes
+
+
+def _pq_sql(m: int = 4, ksub: int = 16, dim: int = 64) -> str:
+    """DuckDB twin of emb_pq_encode: per-subspace seed codebooks,
+    integer micro-unit squared-L2 argmin, m-way vec_id re-join."""
+    ctes = _pq_ctes(m, ksub, dim)
     codes = ",\n                   ".join(
         f"cast(k{s}.cid as bigint) code{s}" for s in range(m))
     err = " + ".join(f"k{s}.d" for s in range(m))
@@ -455,6 +468,48 @@ def _pq_sql(m: int = 4, ksub: int = 16, dim: int = 64) -> str:
                    cast({err} as bigint) err_microsq
             FROM k0
             {joins}"""
+
+
+def _pq_adc_sql(m: int = 4, ksub: int = 16, dim: int = 64,
+                n_queries: int = 20, k: int = 3) -> str:
+    """DuckDB twin of ann_pq_adc_topk: query→codeword LUT per subspace,
+    code-table joins, integer ADC sum, row_number top-k (neighbor
+    tiebreak)."""
+    dsub = dim // m
+    ctes = _pq_ctes(m, ksub, dim)
+    for s in range(m):
+        ctes.append(
+            f"q{s} AS (SELECT vec_id query_id, se qe FROM sb{s}"
+            f" WHERE vec_id < {n_queries})")
+        ctes.append(f"""lut{s} AS (
+              SELECT q.query_id, c.cid,
+                     {_pq_micro_sqdist_sql("q.qe", "c.ce", dsub)} d
+              FROM q{s} q, c{s} c)""")
+    code_joins = "\n              ".join(
+        f"JOIN k{s} USING (vec_id)" for s in range(1, m))
+    lut_joins = "\n              ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cid = k{s}.cid"
+        + ("" if s == 0 else " AND l{0}.query_id = l0.query_id".format(s))
+        for s in range(m))
+    adc = " + ".join(f"l{s}.d" for s in range(m))
+    ctes.append(f"""scan AS (
+              SELECT k0.vec_id, l0.query_id, {adc} adc
+              FROM k0
+              {code_joins}
+              {lut_joins})""")
+    cte_block = ",\n            ".join(ctes)
+    return f"""
+            WITH {cte_block}
+            SELECT cast(query_id as bigint) query_id,
+                   cast(rank as bigint) rank,
+                   cast(neighbor_id as bigint) neighbor_id,
+                   cast(adc_microsq as bigint) adc_microsq
+            FROM (
+              SELECT query_id, vec_id neighbor_id, adc adc_microsq,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc, vec_id) rank
+              FROM scan WHERE vec_id != query_id)
+            WHERE rank <= {k}"""
 
 
 def _bp_ctes() -> str:
@@ -2016,8 +2071,9 @@ def oracle_sql() -> dict[str, str]:
                    cast(floor(1000000.0 * ln(u) / n_tokens) as bigint)
                        key_x1e6
             FROM keyed ORDER BY key_x1e6 DESC, doc_id ASC LIMIT 50""",
-        # Product quantization: generated per-subspace twin.
+        # Product quantization: generated per-subspace twins.
         "emb_pq_encode": _pq_sql(),
+        "ann_pq_adc_topk": _pq_adc_sql(),
         # MinHash-LSH recall vs the exact Jaccard pair set (shared
         # shingle/jaccard/signature fragments; LEFT JOIN counts misses).
         "dedup_minhash_recall": f"""

@@ -2857,3 +2857,11 @@ def corpus_pipeline_v4(spark, sf_dir, k: int = 50):
     return (gated.select(F.col("doc_id").cast("long").alias("doc_id"),
                          w.alias("n_tokens"), key.alias("key_x1e6"))
             .orderBy(F.desc("key_x1e6"), F.asc("doc_id")).limit(k))
+
+
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance ANN search (Jégou et al. 2011 §IV) — the
+    memory-bound 10^9-vector scan; see similarity.pq_adc_topk."""
+    emb, dim = _emb(spark, sf_dir)
+    return similarity.pq_adc_topk(emb, n_queries=20, k=3, m=4, ksub=16,
+                                  dim=dim)

@@ -574,6 +574,47 @@ def lsh_bucket_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
     )
 
 
+def _pq_micro_sqdist(a, b, dsub: int):
+    """Squared L2 between two sub-vectors in integer micro-units
+    ((floor(x·1e6) − floor(y·1e6))² summed as longs) — a STATIC codegen
+    chain with NO float ties, so argmins and rankings built on it are
+    deterministic and bit-identical across engines."""
+    dist = F.lit(0).cast("long")
+    for d in range(dsub):
+        t = (F.floor(a.getItem(d) * F.lit(1000000.0)).cast("long")
+             - F.floor(b.getItem(d) * F.lit(1000000.0)).cast("long"))
+        dist = dist + t * t
+    return dist
+
+
+def _pq_codes(base: DataFrame, m: int, ksub: int, dim: int):
+    """Shared PQ core: per-subspace seed codebooks (sub-vectors of the
+    ksub smallest vec_ids) and the per-vector code assignment. Returns
+    (codes_df with vec_id/code{s}/_err{s}, [codebook_df per subspace])."""
+    dsub = dim // m
+    parts, cents = [], []
+    for s in range(m):
+        sub = F.slice(F.col("_e"), s * dsub + 1, dsub)
+        sb = base.select("vec_id", sub.alias("_se"))
+        cent = (sb.filter(F.col("vec_id") < ksub)
+                .select(F.col("vec_id").cast("int").alias("cid"),
+                        F.col("_se").alias("_ce")))
+        cents.append(cent)
+        ad = sb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid",
+            _pq_micro_sqdist(F.col("_se"), F.col("_ce"), dsub).alias("d"))
+        parts.append(
+            ad.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).alias("mn"))
+            .select("vec_id",
+                    F.col("mn.cid").cast("long").alias(f"code{s}"),
+                    F.col("mn.d").cast("long").alias(f"_err{s}")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, "vec_id")
+    return out, cents
+
+
 def pq_encode(emb: DataFrame, m: int = 4, ksub: int = 16,
               dim: int = EMB_DIM) -> DataFrame:
     """Product-quantization encode (Jégou, Douze & Schmid, TPAMI 2011):
@@ -596,34 +637,9 @@ def pq_encode(emb: DataFrame, m: int = 4, ksub: int = 16,
     agree bit-for-bit; the per-subspace argmin distance IS the exact
     reconstruction error, so the total is a sum of already-exact longs.
     Output: (vec_id, code0..code{m-1}, err_microsq)."""
-    dsub = dim // m
     base = tracked_cache(emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("_e")))
-    parts = []
-    for s in range(m):
-        sub = F.slice(F.col("_e"), s * dsub + 1, dsub)
-        sb = base.select("vec_id", sub.alias("_se"))
-        cent = (sb.filter(F.col("vec_id") < ksub)
-                .select(F.col("vec_id").cast("int").alias("cid"),
-                        F.col("_se").alias("_ce")))
-        dist = F.lit(0).cast("long")
-        for d in range(dsub):
-            t = (F.floor(F.col("_se").getItem(d) * F.lit(1000000.0))
-                 .cast("long")
-                 - F.floor(F.col("_ce").getItem(d) * F.lit(1000000.0))
-                 .cast("long"))
-            dist = dist + t * t
-        ad = sb.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "cid", dist.alias("d"))
-        parts.append(
-            ad.groupBy("vec_id")
-            .agg(F.min(F.struct("d", "cid")).alias("mn"))
-            .select("vec_id",
-                    F.col("mn.cid").cast("long").alias(f"code{s}"),
-                    F.col("mn.d").cast("long").alias(f"_err{s}")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.join(p, "vec_id")
+    out, _cents = _pq_codes(base, m, ksub, dim)
     err = None
     for s in range(m):
         c = F.col(f"_err{s}")
@@ -632,3 +648,51 @@ def pq_encode(emb: DataFrame, m: int = 4, ksub: int = 16,
         F.col("vec_id").cast("long").alias("vec_id"),
         *[F.col(f"code{s}") for s in range(m)],
         err.cast("long").alias("err_microsq"))
+
+
+def pq_adc_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
+                m: int = 4, ksub: int = 16, dim: int = EMB_DIM) -> DataFrame:
+    """PQ asymmetric-distance search (Jégou et al. 2011 §IV): queries
+    stay full-precision, the database is its PQ codes, and distance is
+    the sum of per-subspace query→codeword lookups — the memory-bound
+    scan that makes 10^9-vector ANN fit RAM (m small codes per vector +
+    a queries×m×ksub lookup table).
+
+    Distributed shape: the LUT (n_queries·m·ksub rows — KBs) is built by
+    a broadcast cross of the query sub-vectors with each codebook and
+    then BROADCAST onto the code table, so the scan is m map-side hash
+    joins over the codes frame + one (query, vec) partial-agg sum; the
+    per-query top-k is a window over rows already reduced to
+    n·n_queries. Distances are the integer micro-unit squared-L2 chain
+    (_pq_micro_sqdist) end to end — NO float ties, deterministic
+    ranking, bit-identical oracle. Output:
+    (query_id, rank, neighbor_id, adc_microsq)."""
+    dsub = dim // m
+    base = tracked_cache(emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_e")))
+    codes, cents = _pq_codes(base, m, ksub, dim)
+    scan = codes.select("vec_id", *[f"code{s}" for s in range(m)])
+    for s in range(m):
+        sub = F.slice(F.col("_e"), s * dsub + 1, dsub)
+        q = (base.filter(F.col("vec_id") < n_queries)
+             .select(F.col("vec_id").alias("query_id"), sub.alias("_qe")))
+        lut = q.crossJoin(F.broadcast(cents[s])).select(
+            "query_id", F.col("cid").cast("long").alias(f"code{s}"),
+            _pq_micro_sqdist(F.col("_qe"), F.col("_ce"), dsub)
+            .alias(f"_d{s}"))
+        join_on = [f"code{s}"] if s == 0 else ["query_id", f"code{s}"]
+        scan = scan.join(F.broadcast(lut), join_on)
+    adc = None
+    for s in range(m):
+        c = F.col(f"_d{s}")
+        adc = c if adc is None else adc + c
+    ranked = (scan.filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      adc.cast("long").alias("adc_microsq")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_microsq"), F.asc("neighbor_id"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("query_id").cast("long"),
+                    F.col("rank").cast("long"),
+                    F.col("neighbor_id").cast("long"), "adc_microsq"))
