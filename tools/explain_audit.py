@@ -310,6 +310,27 @@ AUDITS = [
      ["HashAggregate|SortAggregate",
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
      ["CartesianProduct"]),
+    # pipeline v4: strip (broadcast set) → gate (map-only) → A-ES
+    # TakeOrdered — the only window-free top-k composition
+    ("corpus_pipeline_v4",
+     ["TakeOrderedAndProject", "BroadcastExchange|BroadcastNestedLoopJoin"],
+     ["Python", "SortMergeJoin", "Window"]),
+    # PQ: per-subspace broadcast codebooks; argmin shuffles structs, the
+    # m code frames re-join on vec_id; ADC joins broadcast LUTs onto the
+    # code table — the corpus is never cartesian-joined to queries
+    ("emb_pq_encode",
+     ["BroadcastExchange|BroadcastNestedLoopJoin",
+      "HashAggregate|SortAggregate"],
+     ["Python", "Generate"]),
+    ("ann_pq_adc_topk",
+     ["BroadcastExchange|BroadcastNestedLoopJoin", "Window"],
+     ["Python", "Generate"]),
+    # MinHash recall eval: exact inverted-index side + banded LSH side
+    # meet in one LEFT join — still no cartesian anywhere
+    ("dedup_minhash_recall",
+     ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "HashAggregate|SortAggregate"],
+     ["Python", "CartesianProduct"]),
 ]
 
 
