@@ -163,3 +163,23 @@ def test_weighted_sample_partitioning_invariant(spark):
         F2.lower(F2.col("text")), F2.lit(r"\w+"), 0)))).first()[0]
     sample_mean = sum(r[1] for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+@needs_testdata
+def test_pq_encode_invariants(spark):
+    """PQ self-consistency: the seed codewords ARE the sub-vectors of
+    vec_id < ksub, so those vectors reconstruct exactly (err 0, codes =
+    own id); every error is non-negative and every code in range."""
+    from ocr_image_to_text_spark.cachectl import release_caches
+    from ocr_image_to_text_spark.queries import emb_pq_encode
+
+    rows = emb_pq_encode(spark, SF).collect()
+    release_caches()
+    assert rows
+    for r in rows:
+        for s in range(4):
+            assert 0 <= r[f"code{s}"] < 16
+        assert r["err_microsq"] >= 0
+        if r["vec_id"] < 16:
+            assert r["err_microsq"] == 0
+            assert all(r[f"code{s}"] == r["vec_id"] for s in range(4))
