@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4 wave 2: A-ES weighted sampling + corpus token entropy
         "corpus_sample_weighted": q.corpus_sample_weighted,
         "corpus_token_entropy": q.corpus_token_entropy,
+        "corpus_bpe_pairs": q.corpus_bpe_pairs,
         # new in r4 wave 2: per-turn DOM link-density telemetry (the
         # north-star heuristic as a queryable rollup)
         "turn_link_density": q.turn_link_density,
@@ -144,6 +145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_returned_items": q.tpch_returned_items,
         "tpch_custdist": q.tpch_custdist,
         "tpch_large_orders": q.tpch_large_orders,
+        # TPC-H wave 3 (r4): semi / anti / decorrelated-scalar join shapes
+        "tpch_priority_returns": q.tpch_priority_returns,
+        "tpch_quiet_big_accounts": q.tpch_quiet_big_accounts,
+        "tpch_small_qty_revenue": q.tpch_small_qty_revenue,
         # --- extraction pipeline (SURVEY §2.2/2.4/2.5/2.6, north_star;
         #     driver-green in CORRECTNESS_r01-r03) ---
         "extract_rollup": q.extract_rollup,
@@ -2131,6 +2136,18 @@ def oracle_sql() -> dict[str, str]:
                         - floor(sum_nlogn_x1e6 / n_tokens) as bigint)
                        entropy_x1e6
             FROM a""",
+        "corpus_bpe_pairs": r"""
+            WITH words AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) w
+              FROM documents),
+            wt AS (SELECT w, count(*) n FROM words GROUP BY w),
+            pairs AS (
+              SELECT substring(w, cast(i as int), 2) pair, n
+              FROM wt, unnest(generate_series(1, length(w) - 1)) t(i)
+              WHERE length(w) >= 2)
+            SELECT pair, cast(sum(n) as bigint) pair_count
+            FROM pairs GROUP BY pair
+            ORDER BY pair_count DESC, pair ASC LIMIT 50""",
         # Per-turn DOM link-density telemetry: same regexes over the raw
         # transcript text, html turns selected via the golden's kind.
         "turn_link_density": f"""
@@ -2288,6 +2305,48 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON big.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "tpch_priority_returns": r"""
+            SELECT o_orderpriority, cast(count(*) as bigint) order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority""",
+        "tpch_quiet_big_accounts": r"""
+            WITH c AS (
+              SELECT c_custkey, c_nationkey,
+                     cast(floor(c_acctbal * 100.0 + 0.5) as bigint) bal_c
+              FROM customer),
+            th AS (
+              SELECT cast(sum(bal_c) // count(*) as bigint) threshold_c
+              FROM c WHERE bal_c > 0)
+            SELECT c_nationkey, cast(count(*) as bigint) numcust,
+                   cast(sum(bal_c) as bigint) total_bal_c
+            FROM c, th
+            WHERE c.bal_c > th.threshold_c
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey""",
+        "tpch_small_qty_revenue": r"""
+            WITH pb AS (
+              SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'),
+            li AS (
+              SELECT l.l_partkey,
+                     cast(floor(l.l_quantity) as bigint) qty,
+                     cast(floor(l.l_extendedprice * 100.0 + 0.5) as bigint)
+                         price_c
+              FROM lineitem l
+              WHERE EXISTS (SELECT 1 FROM pb
+                            WHERE pb.p_partkey = l.l_partkey)),
+            st AS (
+              SELECT l_partkey, count(*) cnt,
+                     cast(sum(qty) as bigint) sq
+              FROM li GROUP BY l_partkey)
+            SELECT cast(count(*) as bigint) n_lines,
+                   cast(sum(li.price_c) as bigint) total_c
+            FROM li JOIN st ON li.l_partkey = st.l_partkey
+            WHERE 5 * li.qty * st.cnt < st.sq""",
         # (every queries() entry now has an oracle twin: chunks_modern
         # reads the pyref golden parquet; ann_lsh_topk restates the
         # deterministic hyperplane signature in SQL.)

@@ -2865,3 +2865,135 @@ def ann_pq_adc_topk(spark, sf_dir):
     emb, dim = _emb(spark, sf_dir)
     return similarity.pq_adc_topk(emb, n_queries=20, k=3, m=4, ksub=16,
                                   dim=dim)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H wave 3: the three join shapes the catalog still lacked —
+# left-SEMI (Q4's EXISTS), left-ANTI under a global scalar threshold
+# (Q22's NOT EXISTS + subquery), and per-group scalar decorrelation
+# (Q17's correlated AVG). All money/quantity math is integer (cents /
+# floored units) so the DuckDB twins match exactly.
+# ---------------------------------------------------------------------------
+
+
+def tpch_priority_returns(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS → left-semi join): orders that have at
+    least one RETURNED line (l_returnflag = 'R'; the provided lineitem
+    has no commit/receipt dates, so the late-delivery predicate of the
+    canonical Q4 is re-based on the return flag), counted per order
+    priority. Scale: both scans are 2-column pruned with the returnflag
+    filter pushed to parquet; the EXISTS compiles to ONE left-semi
+    shuffle join on l_orderkey (semi joins never materialize the build
+    side's duplicates), then a 5-group partial-agg rollup. Neither side
+    is broadcast — orders and lineitem both grow linearly with SF.
+    Output: (o_orderpriority, order_count)."""
+    orders = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .select("o_orderkey", "o_orderpriority"))
+    returned = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+                .filter(F.col("l_returnflag") == "R")
+                .select("l_orderkey"))
+    return (orders
+            .join(returned, orders.o_orderkey == returned.l_orderkey,
+                  "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("order_count")))
+
+
+def tpch_quiet_big_accounts(spark, sf_dir):
+    """TPC-H Q22 shape (scalar subquery + NOT EXISTS → left-anti join):
+    per nation, the customers whose balance exceeds the mean positive
+    balance yet have placed NO urgent order (the provided schema keeps
+    every customer active, so the canonical 'no orders at all' anti set
+    is empty — the anti side is re-based on o_orderpriority='1-URGENT'
+    to keep the join non-vacuous while preserving the exact plan shape).
+    The global threshold is integer cents with bigint floor-division
+    (sum_c div n) — no float avg crosses the dialect boundary. Scale:
+    the threshold is a 1-row aggregate broadcast-crossed onto customer
+    (the only legal broadcast here); the anti join shuffles on custkey
+    with the urgent filter pushed into the orders scan; customer and
+    orders are never broadcast (both SF-linear).
+    Output: (c_nationkey, numcust, total_bal_c)."""
+    cust = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+            .select("c_custkey", "c_nationkey",
+                    F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5))
+                    .cast("long").alias("bal_c")))
+    th = (cust.filter(F.col("bal_c") > 0)
+          .agg(F.sum("bal_c").alias("s"), F.count("*").alias("n"))
+          .select(F.expr("s div n").alias("threshold_c")))
+    urgent = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    rich = (cust.crossJoin(F.broadcast(th))
+            .filter(F.col("bal_c") > F.col("threshold_c")))
+    return (rich
+            .join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").cast("long").alias("numcust"),
+                 F.sum("bal_c").cast("long").alias("total_bal_c")))
+
+
+def tpch_small_qty_revenue(spark, sf_dir, brand: str = "Brand#12"):
+    """TPC-H Q17 shape (correlated per-part AVG → aggregate-then-join-
+    back decorrelation): revenue from small-quantity lines of one
+    brand's parts, where 'small' means below 20% of that part's own
+    mean order quantity. The correlated predicate l_quantity <
+    0.2*avg(l_quantity) is decorrelated as 5*qty*cnt < sum_qty — pure
+    bigint, no division, dialect-exact. Scale: the brand filter (1/25
+    selectivity) prunes part before the left-semi restriction of
+    lineitem; the per-part stats frame and the join-back share the
+    l_partkey shuffle partitioning (co-partitioned, no second
+    exchange), and the restricted line frame is cached once because
+    both the stats pass and the probe pass consume it. part is
+    SF-linear so nothing is broadcast by hint.
+    Output: (n_lines, total_c) — one row."""
+    pb = (spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+          .filter(F.col("p_brand") == brand).select("p_partkey"))
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .select("l_partkey",
+                  F.floor("l_quantity").cast("long").alias("qty"),
+                  F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+                  .cast("long").alias("price_c")))
+    li_b = tracked_cache(
+        li.join(pb, li.l_partkey == pb.p_partkey, "left_semi"))
+    st = li_b.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt"), F.sum("qty").alias("sq"))
+    return (li_b.join(st, "l_partkey")
+            .filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sq"))
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum("price_c").cast("long").alias("total_c")))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-training primitive: BPE first-iteration merge-pair counts
+# ---------------------------------------------------------------------------
+
+
+def corpus_bpe_pairs(spark, sf_dir, k: int = 50):
+    """BPE merge-pair counting (Sennrich et al. 2016 §3.2, the inner
+    loop of tokenizer training): frequency of every adjacent character
+    pair across the corpus, weighted by word frequency — the statistic
+    that picks the first merge. Scale: the occurrence stream compacts
+    to per-WORD-TYPE counts first (vocabulary compaction — the same
+    trick the reference BPE implementations use: a 100 TB corpus has
+    billions of token occurrences but a ~10^7 word-type vocabulary),
+    so the pair explode runs over the vocab-sized frame weighted by
+    count, never per occurrence. Two shuffles total (word types, then
+    pair types — both vocab-bounded, both with map-side partials),
+    top-k via TakeOrderedAndProject with (count desc, pair asc)
+    determinism. Repeated pairs inside one word ('aaa' → 'aa'×2) are
+    counted per position, matching the reference algorithm.
+    Output: (pair, pair_count)."""
+    docs = _docs(spark, sf_dir)
+    word = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
+    wt = (docs.select(word.alias("w"))
+          .groupBy("w").agg(F.count("*").alias("n")))
+    pairs = (wt.filter(F.length("w") >= 2)
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, length(w) - 1),"
+                 " i -> substring(w, i, 2))")).alias("pair"),
+                 "n"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("n").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(k))

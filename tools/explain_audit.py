@@ -331,6 +331,25 @@ AUDITS = [
      ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
       "HashAggregate|SortAggregate"],
      ["Python", "CartesianProduct"]),
+    # TPC-H wave 3: Q4's EXISTS must compile to a LeftSemi join (never
+    # inner+distinct); Q22's NOT EXISTS to a LeftAnti under the 1-row
+    # broadcast threshold; Q17's correlated-AVG decorrelation to
+    # agg + join-back — no Python, no cartesian, no window in any
+    ("tpch_priority_returns", ["LeftSemi", "HashAggregate"],
+     ["Python", "CartesianProduct", "Window"]),
+    ("tpch_quiet_big_accounts",
+     ["LeftAnti", "BroadcastExchange|BroadcastNestedLoopJoin",
+      "HashAggregate"],
+     ["Python", "CartesianProduct", "Window"]),
+    ("tpch_small_qty_revenue",
+     ["LeftSemi", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "HashAggregate|SortAggregate"],
+     ["Python", "CartesianProduct", "Window"]),
+    # BPE pair counts: two vocab-bounded aggregates around one explode,
+    # per-partition top-k merge — never a join, never a global sort
+    ("corpus_bpe_pairs",
+     ["Generate", "HashAggregate", "TakeOrderedAndProject"],
+     ["Python", "Join", "Window", "CartesianProduct"]),
 ]
 
 
