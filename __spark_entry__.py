@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_weighted": q.corpus_sample_weighted,
         "corpus_token_entropy": q.corpus_token_entropy,
         "corpus_bpe_pairs": q.corpus_bpe_pairs,
+        "extract_boxes_xycut": q.extract_boxes_xycut,
         # new in r4 wave 2: per-turn DOM link-density telemetry (the
         # north-star heuristic as a queryable rollup)
         "turn_link_density": q.turn_link_density,
@@ -744,6 +745,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_boxes_v3": f"""
             SELECT conv_id, turn_idx, extracted_text
             FROM read_parquet('{_g("boxes_v3")}')""",
+        "extract_boxes_xycut": f"""
+            SELECT conv_id, turn_idx, extracted_text
+            FROM read_parquet('{_g("boxes_xycut")}')""",
         "extract_kind_metrics": f"""
             SELECT kind, count(*) n_turns,
                    cast(sum(chars_in) as bigint) sum_chars_in,

@@ -69,6 +69,7 @@ def ensure_goldens(tier: str) -> dict[str, str]:
         "spans": golden_path(tier, "spans"),
         "boxes_v1": golden_path(tier, "boxes_v1"),
         "boxes_v3": golden_path(tier, "boxes_v3"),
+        "boxes_xycut": golden_path(tier, "boxes_xycut"),
         "stitch": golden_path(tier, "stitch"),
         "stitch_v1": golden_path(tier, "stitch_v1"),
         "flat": golden_path(tier, "flat"),
@@ -82,6 +83,7 @@ def ensure_goldens(tier: str) -> dict[str, str]:
     table = _pq.read_table(tpath, columns=["conv_id", "turn_idx", "text", "tool"])
     convs: dict[str, list[tuple[int, str]]] = {}
     rollup_rows, span_rows, v1_rows, v3_rows, flat_rows = [], [], [], [], []
+    xycut_rows: list[dict] = []
     for conv_id, turn_idx, text, tool in zip(
         table.column("conv_id").to_pylist(),
         table.column("turn_idx").to_pylist(),
@@ -102,7 +104,8 @@ def ensure_goldens(tier: str) -> dict[str, str]:
                               "span_idx": i, "span_start": s, "span_end": e, "text": t})
         convs.setdefault(conv_id, []).append((turn_idx, r["extracted_text"]))
         if r["kind"] == "boxes":
-            for variant, acc in (("v1", v1_rows), ("v3", v3_rows)):
+            for variant, acc in (("v1", v1_rows), ("v3", v3_rows),
+                                 ("xycut", xycut_rows)):
                 rv = pyref.extract_turn(text, tool, variant=variant)
                 acc.append({"conv_id": conv_id, "turn_idx": turn_idx,
                             "extracted_text": rv["extracted_text"]})
@@ -118,6 +121,7 @@ def ensure_goldens(tier: str) -> dict[str, str]:
     _write(paths["spans"], span_rows, SPANS_SCHEMA)
     _write(paths["boxes_v1"], v1_rows, BOXES_VARIANT_SCHEMA)
     _write(paths["boxes_v3"], v3_rows, BOXES_VARIANT_SCHEMA)
+    _write(paths["boxes_xycut"], xycut_rows, BOXES_VARIANT_SCHEMA)
 
     _write(paths["flat"], flat_rows, pa.schema([
         ("conv_id", pa.string()), ("turn_idx", _I32), ("flat_text", pa.string())]))

@@ -156,6 +156,60 @@ def layout_v3(polys, texts: list) -> str:
     return _assemble(texts, order, line_id)
 
 
+# ENGINE ADDITION — recursive XY-cut page segmentation (Nagy & Seth,
+# ICPR 1984). Column-aware reading order: the reference's three line
+# clusterings interleave side-by-side columns line by line; XY-cut reads
+# each column band fully before the next. Spec shared verbatim with the
+# naive pure-Python twin pyref.format_with_layout_xycut (equivalence
+# pinned by tests/test_layout_equiv.py): y cut first (gap 40px), else x
+# cut (gap 56px > any intra-line word gap the corpus emits), recurse,
+# leaf = canonical v2 line clustering. The per-region walk is a
+# sequential scan like v3's anchor loop — bounded by the turn's token
+# count, never cross-turn.
+XY_GAP_X = 56.0
+XY_GAP_Y = 40.0
+
+
+def layout_xycut(polys, texts: list, img_h: float) -> str:
+    n = len(texts)
+    if n == 0:
+        return ""
+    P = np.asarray(polys, dtype=np.float64)
+    lo_x = P[:, :, 0].min(axis=1)
+    hi_x = P[:, :, 0].max(axis=1)
+    lo_y = P[:, :, 1].min(axis=1)
+    hi_y = P[:, :, 1].max(axis=1)
+
+    def split(ids, lo, hi, gap):
+        s = ids[np.argsort(lo[ids], kind="stable")]
+        groups: list[list] = [[s[0]]]
+        run_hi = hi[s[0]]
+        for i in s[1:]:
+            if lo[i] - run_hi > gap:
+                groups.append([i])
+            else:
+                groups[-1].append(i)
+            run_hi = max(run_hi, hi[i])
+        return groups if len(groups) > 1 else None
+
+    out: list[str] = []
+
+    def rec(ids, depth: int) -> None:
+        g = None
+        if len(ids) > 1 and depth <= 32:
+            g = (split(ids, lo_y, hi_y, XY_GAP_Y)
+                 or split(ids, lo_x, hi_x, XY_GAP_X))
+        if g is None:
+            out.append(layout_v2([polys[i] for i in ids],
+                                 [texts[i] for i in ids], img_h))
+            return
+        for grp in g:
+            rec(np.asarray(grp), depth + 1)
+
+    rec(np.arange(n), 0)
+    return "\n".join(t for t in out if t)
+
+
 def table_flag_of(all_polys) -> bool:
     """A13 — src/ocr_module.py:516-540 even-spacing heuristic.
 
@@ -225,6 +279,8 @@ def extract_boxes_json(payload: str, variant: str = "v2", geometry: str = "easy"
         text = layout_v1(polys, texts)
     elif variant == "v3":
         text = layout_v3(polys, texts)
+    elif variant == "xycut":
+        text = layout_xycut(polys, texts, float(payload_obj.get("h", 0)))
     else:
         text = layout_v2(polys, texts, float(payload_obj.get("h", 0)), geometry)
     return text, n_kept, n_total - n_kept, tflag, flat, avg_x1e9

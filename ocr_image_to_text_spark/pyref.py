@@ -172,12 +172,75 @@ def format_with_layout_v3(boxes: list) -> str:
     return "\n".join(text_lines)
 
 
+# ENGINE ADDITION — no reference counterpart. Recursive XY-cut page
+# segmentation (Nagy & Seth, ICPR 1984): the column-aware reading order
+# the north_star names ("column/line clustering") that none of the
+# reference's three line-clustering variants provide (they interleave
+# side-by-side columns line by line). Spec, shared verbatim with the
+# production numpy implementation in operators/layout.py (equivalence
+# pinned by tests/test_layout_equiv.py):
+#   * project axis-aligned box bounds onto an axis; walk boxes sorted by
+#     their low edge keeping a running max high edge; a box whose low
+#     edge clears the running max by more than the axis gap starts a new
+#     region;
+#   * try the horizontal cut first (y axis, gap 40px — title/body/footer
+#     bands), else the vertical cut (x axis, gap 56px — columns; 56
+#     exceeds any intra-line word gap the corpus generator emits);
+#   * recurse into each region (top-to-bottom / left-to-right), leaf =
+#     the canonical v2 line clustering.
+XY_GAP_X = 56.0
+XY_GAP_Y = 40.0
+
+
+def _xy_split(boxes: list, axis: int, gap: float):
+    """One projection cut; None when the region is indivisible."""
+    def lo_hi(b):
+        vs = [p[axis] for p in b[0]]
+        return min(vs), max(vs)
+
+    srt = sorted(boxes, key=lambda b: lo_hi(b)[0])
+    groups = [[srt[0]]]
+    hi = lo_hi(srt[0])[1]
+    for b in srt[1:]:
+        blo, bhi = lo_hi(b)
+        if blo - hi > gap:
+            groups.append([b])
+        else:
+            groups[-1].append(b)
+        hi = max(hi, bhi)
+    return groups if len(groups) > 1 else None
+
+
+def format_with_layout_xycut(boxes: list, img_height: float) -> str:
+    """Naive pure-Python XY-cut twin (the golden side of the
+    two-implementation equality check)."""
+    if not boxes:
+        return ""
+    out: list[str] = []
+
+    def rec(items: list, depth: int) -> None:
+        g = None
+        if len(items) > 1 and depth <= 32:
+            g = (_xy_split(items, 1, XY_GAP_Y)
+                 or _xy_split(items, 0, XY_GAP_X))
+        if g is None:
+            out.append(format_with_layout_v2(items, img_height))
+            return
+        for grp in g:
+            rec(grp, depth + 1)
+
+    rec(list(boxes), 0)
+    return "\n".join(t for t in out if t)
+
+
 def format_with_layout(boxes: list, img_height: float, variant: str = "v2",
                        geometry: str = "easy") -> str:
     if variant == "v1":
         return format_with_layout_v1(boxes)
     if variant == "v3":
         return format_with_layout_v3(boxes)
+    if variant == "xycut":
+        return format_with_layout_xycut(boxes, img_height)
     return format_with_layout_v2(boxes, img_height, geometry)
 
 

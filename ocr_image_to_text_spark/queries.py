@@ -2997,3 +2997,21 @@ def corpus_bpe_pairs(spark, sf_dir, k: int = 50):
             .agg(F.sum("n").cast("long").alias("pair_count"))
             .orderBy(F.desc("pair_count"), F.asc("pair"))
             .limit(k))
+
+
+def extract_boxes_xycut(spark, sf_dir):
+    """Column-aware reading order via recursive XY-cut page segmentation
+    (Nagy & Seth 1984) — ENGINE ADDITION: the north_star's 'column/line
+    clustering' term that none of the reference's three line-clustering
+    variants provides (they interleave side-by-side columns line by
+    line; XY-cut emits each column band fully before the next — the
+    two_column fixture reads column-major here). Same extraction plan
+    shape as v1/v3 (ONE Arrow-batched dispatch UDF per turn, 4-column
+    pruned scan, no shuffle); the recursion is per-turn-bounded. Oracle:
+    naive pure-Python twin (pyref.format_with_layout_xycut) materialized
+    to golden parquet; numpy/pyref equivalence pinned by
+    tests/test_layout_equiv.py. Output: (conv_id, turn_idx,
+    extracted_text)."""
+    return (_extracted(spark, sf_dir, variant="xycut")
+            .filter(F.col("kind") == "boxes")
+            .select("conv_id", "turn_idx", "extracted_text"))

@@ -20,7 +20,7 @@ from ocr_image_to_text_spark.transcripts import (
 )
 
 
-@pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
+@pytest.mark.parametrize("variant", ["v1", "v2", "v3", "xycut"])
 def test_random_payloads_match_oracle(variant):
     rng = random.Random(123)
     for _ in range(300):
@@ -38,7 +38,7 @@ def test_random_payloads_match_oracle(variant):
 
 
 @pytest.mark.parametrize("case", BOX_FIXTURES)
-@pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
+@pytest.mark.parametrize("variant", ["v1", "v2", "v3", "xycut"])
 def test_fixture_payloads_match_oracle(case, variant):
     payload = _boxes_fixture(case)
     obj = json.loads(payload)
@@ -113,3 +113,39 @@ def test_small_and_large_paths_agree_with_oracle(n, variant):
     assert got[0] == want
     assert got[3] == pyref.detect_table_spacing(
         [(b[0][0][1] + b[0][2][1]) / 2 for b in obj["boxes"]])
+
+
+def test_xycut_reads_two_column_column_major():
+    """The engine-addition claim itself: XY-cut emits the left column
+    fully before the right one where every line-clustering variant
+    interleaves the two columns line by line."""
+    payload = _boxes_fixture("two_column")
+    obj = json.loads(payload)
+    kept = pyref.conf_filter(obj["boxes"])
+    xy = extract_boxes_json(payload, "xycut")[0]
+    assert xy == pyref.format_with_layout_xycut(kept, obj["h"])
+    assert xy != pyref.format_with_layout(kept, obj["h"], "v2")
+    lines = xy.split("\n")
+    feat = [i for i, l in enumerate(lines) if "feature" in l]
+    cap = [i for i, l in enumerate(lines) if "capabilit" in l.lower()]
+    assert feat and cap and max(feat) < min(cap)
+
+
+def test_xycut_random_scatter_matches_twin():
+    """Scattered boxes produce arbitrary gap structure — deep recursion
+    through alternating y/x cuts must stay byte-equal to the naive twin."""
+    rng = random.Random(99)
+    for _ in range(200):
+        n = rng.randint(1, 40)
+        boxes = []
+        for i in range(n):
+            x = rng.uniform(0, 700)
+            y = rng.uniform(0, 560)
+            w = rng.uniform(8, 120)
+            h = rng.uniform(8, 24)
+            boxes.append(
+                [[[x, y], [x + w, y], [x + w, y + h], [x, y + h]],
+                 f"t{i}", 0.9])
+        payload = json.dumps({"h": 600, "w": 800, "boxes": boxes})
+        want = pyref.format_with_layout_xycut(boxes, 600)
+        assert extract_boxes_json(payload, "xycut")[0] == want

@@ -350,6 +350,10 @@ AUDITS = [
     ("corpus_bpe_pairs",
      ["Generate", "HashAggregate", "TakeOrderedAndProject"],
      ["Python", "Join", "Window", "CartesianProduct"]),
+    # XY-cut: identical extraction shape to the other box variants —
+    # exactly one Arrow-batched dispatch UDF, no shuffle, no join
+    ("extract_boxes_xycut", ["ArrowEvalPython", "ReadSchema"],
+     ["BatchEvalPython", "Join", "Exchange"]),
 ]
 
 
