@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_entropy": q.corpus_token_entropy,
         "corpus_bpe_pairs": q.corpus_bpe_pairs,
         "extract_boxes_xycut": q.extract_boxes_xycut,
+        "dedup_cdc_chunks": q.dedup_cdc_chunks,
         # new in r4 wave 2: per-turn DOM link-density telemetry (the
         # north-star heuristic as a queryable rollup)
         "turn_link_density": q.turn_link_density,
@@ -1273,6 +1274,36 @@ def oracle_sql() -> dict[str, str]:
                         / count(*)) as bigint) dup_frac_x1000
             FROM sh JOIN dfq USING (shingle)
             GROUP BY sh.doc_id""",
+        # CDC chunking: boundary flag per word TYPE via the shared
+        # md5-prefix-int fragment, per-doc prefix-sum chunk ids, chunk
+        # keys = md5 of space-joined words, df>1 flag-back
+        "dedup_cdc_chunks": f"""
+            WITH d AS (SELECT cast(doc_id as bigint) doc_id,
+                              regexp_extract_all(lower(text), '\\w+') ws
+                       FROM documents),
+            w AS (SELECT doc_id, i - 1 pos, ws[i] w
+                  FROM d, unnest(generate_series(1, len(ws))) t(i)),
+            f AS (SELECT doc_id, pos, w,
+                         CASE WHEN ({_md5_prefix_int_sql("w")}) % 8 = 0
+                              THEN 1 ELSE 0 END fl
+                  FROM w),
+            c AS (SELECT doc_id, pos, w,
+                         sum(fl) OVER (PARTITION BY doc_id ORDER BY pos)
+                             chunk_id
+                  FROM f),
+            ch AS (SELECT doc_id, chunk_id,
+                          md5(string_agg(w, ' ' ORDER BY pos)) k
+                   FROM c GROUP BY doc_id, chunk_id),
+            cnt AS (SELECT k, count(*) cnt FROM ch GROUP BY k)
+            SELECT ch.doc_id,
+                   cast(count(*) as bigint) n_chunks,
+                   cast(sum(CASE WHEN cnt.cnt > 1 THEN 1 ELSE 0 END)
+                        as bigint) n_dup_chunks,
+                   cast(floor(1000.0 * sum(CASE WHEN cnt.cnt > 1
+                                                THEN 1 ELSE 0 END)
+                              / count(*)) as bigint) dup_frac_x1000
+            FROM ch JOIN cnt USING (k)
+            GROUP BY ch.doc_id""",
         # C4 three-sentence-span dedup: X13 sentinel sentence split,
         # normalized-md5 span keys, keep-first = min(struct) — DuckDB's
         # struct min uses the same (doc_id, span_idx) ordering as Spark.

@@ -569,3 +569,59 @@ def c4_span_stats(docs: DataFrame, span_sents: int = 3) -> DataFrame:
             .select("doc_id",
                     *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
                       for c in ("n_spans", "n_dup_spans", "n_removed")]))
+
+
+CDC_DIVISOR = 8  # expected chunk length in words
+
+
+def cdc_chunk_stats(docs: DataFrame, divisor: int = CDC_DIVISOR) -> DataFrame:
+    """Content-defined chunking duplication signal (Muthitacharoen,
+    Chen & Mazières, SOSP'01 — the LBFS rolling-boundary chunking behind
+    storage dedup, word-granular here): a chunk boundary opens BEFORE
+    any word whose md5-prefix integer is ≡ 0 (mod divisor), so
+    boundaries are a pure function of LOCAL content — an insertion
+    reshuffles only the chunk it lands in, never the suffix of the
+    document (the shift-robustness fixed-size chunking lacks, and the
+    reason CDC finds near-dup docs' shared tails that offset-keyed
+    spans miss). Chunks are keyed by md5 of their space-joined words; a
+    chunk is duplicated iff its key occurs anywhere else in the corpus.
+
+    Scale: one posexplode to word rows; chunk id is a per-doc running
+    sum of boundary flags (window partitioned by doc_id ordered by
+    position — per-doc bounded, the same prefix-sum shape as the
+    packing/mix-budget ops); chunk assembly is a (doc, chunk) grouped
+    agg ordering (pos, word) structs with array_sort; the global
+    chunk-frequency count is ONE chunk-key shuffle with map-side
+    partials and the flag-back equi-join reuses that key. No self-join
+    — a hot chunk costs a count, never a quadratic fan-out.
+
+    Output: (doc_id, n_chunks, n_dup_chunks, dup_frac_x1000).
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"),
+                                 0)).alias("pos", "w"))
+    flag = (F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+            .cast("long") % divisor == 0).cast("long")
+    run = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    chunked = words.select(
+        "doc_id", "pos", "w", F.sum(flag).over(run).alias("chunk_id"))
+    chunks = tracked_cache(
+        chunked.groupBy("doc_id", "chunk_id").agg(
+            F.md5(F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"]))).alias("k")))
+    cnt = chunks.groupBy("k").agg(F.count("*").alias("cnt"))
+    flagged = chunks.join(cnt, "k").select(
+        "doc_id", (F.col("cnt") > 1).cast("int").alias("is_dup"))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.sum("is_dup").cast("long").alias("n_dup_chunks"))
+            .select("doc_id", "n_chunks", "n_dup_chunks",
+                    F.floor(F.lit(1000.0) * F.col("n_dup_chunks")
+                            / F.col("n_chunks")).cast("long")
+                    .alias("dup_frac_x1000")))

@@ -3015,3 +3015,9 @@ def extract_boxes_xycut(spark, sf_dir):
     return (_extracted(spark, sf_dir, variant="xycut")
             .filter(F.col("kind") == "boxes")
             .select("conv_id", "turn_idx", "extracted_text"))
+
+
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking duplication signal — see
+    dedup.cdc_chunk_stats (LBFS rolling boundaries, SOSP'01)."""
+    return dedup.cdc_chunk_stats(_docs(spark, sf_dir))

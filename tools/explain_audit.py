@@ -354,6 +354,12 @@ AUDITS = [
     # exactly one Arrow-batched dispatch UDF, no shuffle, no join
     ("extract_boxes_xycut", ["ArrowEvalPython", "ReadSchema"],
      ["BatchEvalPython", "Join", "Exchange"]),
+    # CDC chunking: explode → per-doc prefix-sum window → chunk-key
+    # count + flag-back equi-join; no self-join, no cartesian, no Python
+    ("dedup_cdc_chunks",
+     ["Generate", "Window",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["Python", "CartesianProduct"]),
 ]
 
 
