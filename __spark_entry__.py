@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_pairs": q.corpus_bpe_pairs,
         "extract_boxes_xycut": q.extract_boxes_xycut,
         "dedup_cdc_chunks": q.dedup_cdc_chunks,
+        "corpus_sample_weighted_stratified": q.corpus_sample_weighted_stratified,
+        "doc_quality_deciles": q.doc_quality_deciles,
+        "ann_ivfpq_adc_topk": q.ann_ivfpq_adc_topk,
         # new in r4 wave 2: per-turn DOM link-density telemetry (the
         # north-star heuristic as a queryable rollup)
         "turn_link_density": q.turn_link_density,
@@ -503,6 +506,69 @@ def _pq_adc_sql(m: int = 4, ksub: int = 16, dim: int = 64,
               SELECT k0.vec_id, l0.query_id, {adc} adc
               FROM k0
               {code_joins}
+              {lut_joins})""")
+    cte_block = ",\n            ".join(ctes)
+    return f"""
+            WITH {cte_block}
+            SELECT cast(query_id as bigint) query_id,
+                   cast(rank as bigint) rank,
+                   cast(neighbor_id as bigint) neighbor_id,
+                   cast(adc_microsq as bigint) adc_microsq
+            FROM (
+              SELECT query_id, vec_id neighbor_id, adc adc_microsq,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc, vec_id) rank
+              FROM scan WHERE vec_id != query_id)
+            WHERE rank <= {k}"""
+
+
+def _ivfpq_adc_sql(m: int = 4, ksub: int = 16, dim: int = 64,
+                   n_cells: int = 16, n_probe: int = 4,
+                   n_queries: int = 20, k: int = 3) -> str:
+    """DuckDB twin of ann_ivfpq_adc_topk: the _pq_ctes code frames plus
+    the IVF cell-assignment/probe CTEs (round-9 squared-L2, cid
+    tiebreak), joined so the ADC scan sees only probed cells."""
+    dsub = dim // m
+    ctes = _pq_ctes(m, ksub, dim)
+    ctes.append(
+        f"cc AS (SELECT vec_id cid, e ce FROM b WHERE vec_id < {n_cells})")
+    ctes.append("""cad AS (
+              SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(
+                       generate_series(1, len(v.e)),
+                       i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))), 9) d
+              FROM b v, cc c)""")
+    ctes.append("""asn AS (
+              SELECT vec_id, cid cell FROM
+                (SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d, cid) rn FROM cad)
+              WHERE rn = 1)""")
+    ctes.append(f"""probe AS (
+              SELECT vec_id query_id, cid cell FROM
+                (SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d, cid) rn
+                 FROM cad WHERE vec_id < {n_queries})
+              WHERE rn <= {n_probe})""")
+    for s in range(m):
+        ctes.append(
+            f"q{s} AS (SELECT vec_id query_id, se qe FROM sb{s}"
+            f" WHERE vec_id < {n_queries})")
+        ctes.append(f"""lut{s} AS (
+              SELECT q.query_id, c.cid,
+                     {_pq_micro_sqdist_sql("q.qe", "c.ce", dsub)} d
+              FROM q{s} q, c{s} c)""")
+    code_joins = "\n              ".join(
+        f"JOIN k{s} USING (vec_id)" for s in range(1, m))
+    lut_joins = "\n              ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cid = k{s}.cid"
+        f" AND l{s}.query_id = p.query_id" for s in range(m))
+    adc = " + ".join(f"l{s}.d" for s in range(m))
+    ctes.append(f"""scan AS (
+              SELECT k0.vec_id, p.query_id, {adc} adc
+              FROM k0
+              {code_joins}
+              JOIN asn a ON a.vec_id = k0.vec_id
+              JOIN probe p ON p.cell = a.cell
               {lut_joins})""")
     cte_block = ",\n            ".join(ctes)
     return f"""
@@ -2114,6 +2180,7 @@ def oracle_sql() -> dict[str, str]:
         # Product quantization: generated per-subspace twins.
         "emb_pq_encode": _pq_sql(),
         "ann_pq_adc_topk": _pq_adc_sql(),
+        "ann_ivfpq_adc_topk": _ivfpq_adc_sql(),
         # MinHash-LSH recall vs the exact Jaccard pair set (shared
         # shingle/jaccard/signature fragments; LEFT JOIN counts misses).
         "dedup_minhash_recall": f"""
@@ -2152,6 +2219,48 @@ def oracle_sql() -> dict[str, str]:
                    cast(floor(1000000.0 * ln(u) / n_tokens) as bigint)
                        key_x1e6
             FROM b ORDER BY key_x1e6 DESC, doc_id ASC LIMIT 100""",
+        "corpus_sample_weighted_stratified": f"""
+            WITH b AS (
+              SELECT source, cast(doc_id as bigint) doc_id,
+                     greatest(1, len(regexp_extract_all(lower(text),
+                                                        '\\w+'))) n_tokens,
+                     (({_md5_prefix_int_sql("cast(doc_id as varchar)")})
+                      % 1000000 + 1) / 1000000.0 u
+              FROM documents),
+            kx AS (
+              SELECT source, doc_id, cast(n_tokens as bigint) n_tokens,
+                     cast(floor(1000000.0 * ln(u) / n_tokens) as bigint)
+                         key_x1e6
+              FROM b)
+            SELECT source, doc_id, n_tokens, key_x1e6,
+                   cast(row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY key_x1e6 DESC, doc_id ASC) as bigint) rk
+            FROM kx
+            QUALIFY rk <= 20""",
+        "doc_quality_deciles": r"""
+            WITH b AS (
+              SELECT source, cast(doc_id as bigint) doc_id,
+                     cast(floor(
+                       (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                           least(1.0, length(text) / 100.0)
+                           * (length(regexp_replace(text, '[^A-Za-z0-9\s]',
+                                                    '', 'g'))
+                              / cast(length(text) as double))
+                        END) * 1000000 + 0.5) as bigint) q_x1e6
+              FROM documents),
+            d AS (
+              SELECT source, q_x1e6,
+                     ntile(10) OVER (PARTITION BY source
+                                     ORDER BY q_x1e6 ASC, doc_id ASC)
+                         decile
+              FROM b)
+            SELECT source, cast(decile as bigint) decile,
+                   cast(count(*) as bigint) n_docs,
+                   cast(min(q_x1e6) as bigint) min_q_x1e6,
+                   cast(max(q_x1e6) as bigint) max_q_x1e6,
+                   cast(sum(q_x1e6) as bigint) sum_q_x1e6
+            FROM d GROUP BY source, decile""",
         # Token entropy: H = ln N − (Σ n·ln n)/N, every term floored on
         # the 1e6 grid before the order-independent integer sum.
         "corpus_token_entropy": r"""

@@ -3021,3 +3021,67 @@ def dedup_cdc_chunks(spark, sf_dir):
     """Content-defined chunking duplication signal — see
     dedup.cdc_chunk_stats (LBFS rolling boundaries, SOSP'01)."""
     return dedup.cdc_chunk_stats(_docs(spark, sf_dir))
+
+
+def corpus_sample_weighted_stratified(spark, sf_dir, k: int = 20):
+    """Per-stratum weighted sampling without replacement: the A-ES
+    exponential key of corpus_sample_weighted ranked WITHIN each source
+    — the 'k best-weighted docs per domain' draw a crawl-curation mix
+    actually executes (a global top-k drains small domains; the
+    per-stratum rank guarantees every source its quota). Same
+    deterministic md5 coin and 1e6-grid floored ln(u)/w key (bit-exact
+    across engines, partitioning-invariant); the per-group top-k is a
+    row_number window over the ONE source-key shuffle — sort-based
+    streaming per stratum, never a global sort, never a driver
+    collect. Output: (source, doc_id, n_tokens, key_x1e6, rk)."""
+    docs = _docs(spark, sf_dir)
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("long") % 1000000) + 1) / 1000000.0
+    w = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit(r"\w+"), 0)).cast("long"))
+    key = F.floor(F.lit(1000000.0) * F.log(u) / w).cast("long")
+    base = docs.select("source",
+                       F.col("doc_id").cast("long").alias("doc_id"),
+                       w.alias("n_tokens"), key.alias("key_x1e6"))
+    rk = F.row_number().over(
+        Window.partitionBy("source")
+        .orderBy(F.desc("key_x1e6"), F.asc("doc_id")))
+    return (base.withColumn("rk", rk.cast("long"))
+            .filter(F.col("rk") <= k))
+
+
+def doc_quality_deciles(spark, sf_dir):
+    """Per-source A6-quality decile profile (ntile-10): the calibration
+    table a curation threshold is read off of — per (source, decile),
+    doc count and the min/max/sum of the floored x1e6 quality score.
+    The ntile window is PARTITIONED by source (one source-key shuffle,
+    sort-based streaming per stratum) — never a global single-partition
+    sort; a stratum too large to sort would swap to percentile-boundary
+    assignment, documented here as the scale escape hatch. Ties order
+    by (q, doc_id) so bucket assignment is total and dialect-exact.
+    Output: (source, decile, n_docs, min_q_x1e6, max_q_x1e6,
+    sum_q_x1e6)."""
+    score = textfn.score_v1_col(F.col("text"))
+    base = _docs(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"),
+        F.floor(score * 1e6 + F.lit(0.5)).cast("long").alias("q_x1e6"))
+    dec = F.ntile(10).over(
+        Window.partitionBy("source")
+        .orderBy(F.asc("q_x1e6"), F.asc("doc_id")))
+    return (base.withColumn("decile", dec.cast("long"))
+            .groupBy("source", "decile")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("q_x1e6").alias("min_q_x1e6"),
+                 F.max("q_x1e6").alias("max_q_x1e6"),
+                 F.sum("q_x1e6").cast("long").alias("sum_q_x1e6")))
+
+
+def ann_ivfpq_adc_topk(spark, sf_dir):
+    """IVFADC: coarse cells × PQ asymmetric distance — the Faiss
+    IndexIVFPQ billion-scale composition; see similarity.ivfpq_adc_topk."""
+    emb, dim = _emb(spark, sf_dir)
+    return similarity.ivfpq_adc_topk(emb, n_queries=20, k=3, m=4,
+                                     ksub=16, n_cells=16, n_probe=4,
+                                     dim=dim)

@@ -696,3 +696,71 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
             .select(F.col("query_id").cast("long"),
                     F.col("rank").cast("long"),
                     F.col("neighbor_id").cast("long"), "adc_microsq"))
+
+
+def ivfpq_adc_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
+                   m: int = 4, ksub: int = 16, n_cells: int = 16,
+                   n_probe: int = 4, dim: int = EMB_DIM) -> DataFrame:
+    """IVFADC — the Faiss IndexIVFPQ composition (Jégou, Douze & Schmid
+    2011 §V): a coarse quantizer restricts the scan to the n_probe
+    probed cells and PQ asymmetric distance ranks inside them — THE
+    billion-scale ANN layout (inverted cells bound candidate count,
+    m-byte codes bound memory; 10^9 vectors fit a few GB per executor).
+    Stated simplification vs Faiss: codes encode the RAW vectors, not
+    the per-cell residuals — residual encoding would interpose a float
+    subtraction before quantization and break the integer-exact oracle
+    chain; every distributed mechanism (cell-partitioned code table,
+    broadcast probe list, broadcast LUTs) is identical.
+
+    Distributed shape: the centroid table is broadcast for assignment
+    (the argmin shuffles (vec_id, struct) rows, never vectors); the
+    code table picks up its cell id with one vec_id equi-join (at rest
+    this is simply the partitioning of the index); the probe list
+    (n_queries·n_probe rows) and the per-subspace LUTs (n_queries·ksub
+    rows each) are BROADCAST onto the cell-restricted scan, so the scan
+    costs |probed cells| rows with no shuffle of the code table; the
+    per-query top-k is a window over the already-reduced frame.
+    Integer micro-unit distances end to end — no float ties. Output:
+    (query_id, rank, neighbor_id, adc_microsq)."""
+    dsub = dim // m
+    base = tracked_cache(emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_e")))
+    cent = coarse_centroids(base, n_cells, dim)
+    ad = (base.select("vec_id", "_e").crossJoin(F.broadcast(cent))
+          .select("vec_id", "cid", _centroid_dist(dim).alias("d")))
+    asn = (ad.groupBy("vec_id")
+           .agg(F.min(F.struct("d", "cid")).alias("mn"))
+           .select("vec_id", F.col("mn.cid").alias("cell")))
+    wq = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    probes = (ad.filter(F.col("vec_id") < n_queries)
+              .withColumn("prank", F.row_number().over(wq))
+              .filter(F.col("prank") <= n_probe)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("cid").alias("cell")))
+    codes, cents = _pq_codes(base, m, ksub, dim)
+    scan = (codes.select("vec_id", *[f"code{s}" for s in range(m)])
+            .join(asn, "vec_id")
+            .join(F.broadcast(probes), "cell"))
+    for s in range(m):
+        sub = F.slice(F.col("_e"), s * dsub + 1, dsub)
+        q = (base.filter(F.col("vec_id") < n_queries)
+             .select(F.col("vec_id").alias("query_id"), sub.alias("_qe")))
+        lut = q.crossJoin(F.broadcast(cents[s])).select(
+            "query_id", F.col("cid").cast("long").alias(f"code{s}"),
+            _pq_micro_sqdist(F.col("_qe"), F.col("_ce"), dsub)
+            .alias(f"_d{s}"))
+        scan = scan.join(F.broadcast(lut), ["query_id", f"code{s}"])
+    adc = None
+    for s in range(m):
+        c = F.col(f"_d{s}")
+        adc = c if adc is None else adc + c
+    ranked = (scan.filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      adc.cast("long").alias("adc_microsq")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_microsq"), F.asc("neighbor_id"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("query_id").cast("long"),
+                    F.col("rank").cast("long"),
+                    F.col("neighbor_id").cast("long"), "adc_microsq"))

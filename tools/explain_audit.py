@@ -360,6 +360,19 @@ AUDITS = [
      ["Generate", "Window",
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
      ["Python", "CartesianProduct"]),
+    # per-stratum A-ES: map-only keys + ONE source-partitioned
+    # row_number window — no join, no global sort
+    ("corpus_sample_weighted_stratified", ["Window"],
+     ["Python", "Join", "CartesianProduct"]),
+    # per-source ntile deciles: one partitioned window + one rollup
+    ("doc_quality_deciles", ["Window", "HashAggregate"],
+     ["Python", "Join", "CartesianProduct"]),
+    # IVFADC: broadcast centroids/probes/LUTs onto the cell-restricted
+    # code scan — the code table is never cartesian-joined to queries
+    ("ann_ivfpq_adc_topk",
+     ["BroadcastExchange|BroadcastNestedLoopJoin", "Window",
+      "HashAggregate|SortAggregate"],
+     ["Python", "CartesianProduct"]),
 ]
 
 
