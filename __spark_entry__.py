@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_weighted_stratified": q.corpus_sample_weighted_stratified,
         "doc_quality_deciles": q.doc_quality_deciles,
         "ann_ivfpq_adc_topk": q.ann_ivfpq_adc_topk,
+        "corpus_bpe_merge2": q.corpus_bpe_merge2,
+        "tpch_top_supplier": q.tpch_top_supplier,
         # new in r4 wave 2: per-turn DOM link-density telemetry (the
         # north-star heuristic as a queryable rollup)
         "turn_link_density": q.turn_link_density,
@@ -2292,6 +2294,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT pair, cast(sum(n) as bigint) pair_count
             FROM pairs GROUP BY pair
             ORDER BY pair_count DESC, pair ASC LIMIT 50""",
+        "corpus_bpe_merge2": r"""
+            WITH words AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) w
+              FROM documents),
+            wt AS (SELECT array_to_string(regexp_extract_all(w, '.'), ' ')
+                       sw, count(*) n
+                   FROM words GROUP BY w),
+            p1 AS (
+              SELECT sy[i] || ' ' || sy[i+1] pair
+              FROM (SELECT string_split(sw, ' ') sy, n FROM wt) t,
+                   unnest(generate_series(1, len(sy) - 1)) u(i)
+              GROUP BY pair ORDER BY sum(n) DESC, pair ASC LIMIT 1),
+            merged AS (
+              SELECT replace(wt.sw, p1.pair, replace(p1.pair, ' ', '')) mw,
+                     wt.n
+              FROM wt, p1)
+            SELECT sy[i] || ' ' || sy[i+1] pair,
+                   cast(sum(n) as bigint) pair_count
+            FROM (SELECT string_split(mw, ' ') sy, n FROM merged) t,
+                 unnest(generate_series(1, len(sy) - 1)) u(i)
+            GROUP BY pair
+            ORDER BY pair_count DESC, pair ASC LIMIT 30""",
         # Per-turn DOM link-density telemetry: same regexes over the raw
         # transcript text, html turns selected via the golden's kind.
         "turn_link_density": f"""
@@ -2491,6 +2515,22 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(li.price_c) as bigint) total_c
             FROM li JOIN st ON li.l_partkey = st.l_partkey
             WHERE 5 * li.qty * st.cnt < st.sq""",
+        "tpch_top_supplier": r"""
+            WITH rev AS (
+              SELECT l_suppkey,
+                     cast(sum(cast(floor(l_extendedprice
+                                         * (1 - l_discount) * 100.0 + 0.5)
+                                   as bigint)) as bigint) total_revenue_c
+              FROM lineitem
+              WHERE l_shipdate >= timestamp '1996-01-01'
+                AND l_shipdate <  timestamp '1996-04-01'
+              GROUP BY l_suppkey),
+            mx AS (SELECT max(total_revenue_c) m FROM rev)
+            SELECT cast(s.s_suppkey as bigint) s_suppkey, s.s_name,
+                   rev.total_revenue_c
+            FROM rev, mx
+            JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+            WHERE rev.total_revenue_c = mx.m""",
         # (every queries() entry now has an oracle twin: chunks_modern
         # reads the pyref golden parquet; ann_lsh_topk restates the
         # deterministic hyperplane signature in SQL.)

@@ -3085,3 +3085,78 @@ def ann_ivfpq_adc_topk(spark, sf_dir):
     return similarity.ivfpq_adc_topk(emb, n_queries=20, k=3, m=4,
                                      ksub=16, n_cells=16, n_probe=4,
                                      dim=dim)
+
+
+def corpus_bpe_merge2(spark, sf_dir, k: int = 30):
+    """Second BPE training iteration (Sennrich et al. 2016 §3.2): pick
+    the argmax pair from iteration 1, APPLY the merge, and re-count —
+    demonstrating the iterative trainer loop distributively. Merge
+    application exploits that greedy left-to-right non-overlapping
+    replacement (BPE's application rule) IS the semantics of literal
+    string `replace` in both engines, over the space-separated symbol
+    representation ('l o w e r' + merge 'e r' → 'l o w er'). Scale: the
+    whole iteration runs on the compacted word-TYPE frame (weighted by
+    count); the chosen merge is a 1-row broadcast; each pair count is
+    one vocab-bounded shuffle with map-side partials — per iteration
+    cost is O(vocab), never O(corpus). Output: (pair, pair_count) —
+    the iteration-2 merge candidates."""
+    docs = _docs(spark, sf_dir)
+    word = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
+    wt = tracked_cache(
+        docs.select(word.alias("w"))
+        .groupBy("w").agg(F.count("*").alias("n"))
+        .select(F.concat_ws(
+            " ", F.regexp_extract_all(F.col("w"), F.lit(r"."), 0))
+            .alias("sw"), "n"))
+
+    def sym_pairs(frame, col):
+        sy = F.split(F.col(col), " ")
+        pairs = F.expr(
+            f"transform(sequence(1, size(split({col}, ' ')) - 1),"
+            f" i -> concat(element_at(split({col}, ' '), i), ' ',"
+            f" element_at(split({col}, ' '), i + 1)))")
+        return (frame.filter(F.size(sy) >= 2)
+                .select(F.explode(pairs).alias("pair"), "n"))
+
+    p1 = (sym_pairs(wt, "sw")
+          .groupBy("pair").agg(F.sum("n").alias("c"))
+          .orderBy(F.desc("c"), F.asc("pair")).limit(1)
+          .select("pair"))
+    merged = wt.crossJoin(F.broadcast(p1)).select(
+        F.expr("replace(sw, pair, replace(pair, ' ', ''))").alias("mw"),
+        "n")
+    return (sym_pairs(merged, "mw")
+            .groupBy("pair").agg(F.sum("n").cast("long")
+                                 .alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair")).limit(k))
+
+
+def tpch_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (scalar MAX subquery → argmax-equality join):
+    the quarter's top supplier(s) by discounted revenue. The per-
+    supplier rollup is one suppkey shuffle with map-side partials over
+    the shipdate-pruned scan; the global max is a 1-row aggregate
+    broadcast-crossed back (the only legal broadcast — supplier and
+    lineitem are SF-linear and shuffle-join on suppkey); ties all
+    surface, as in the spec's view formulation. Revenue is per-row
+    floored cents (IEEE multiply is engine-deterministic; bigint sums
+    are exact). Output: (s_suppkey, s_name, total_revenue_c)."""
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01"))
+          .select("l_suppkey",
+                  F.floor(F.col("l_extendedprice")
+                          * (F.lit(1.0) - F.col("l_discount"))
+                          * 100.0 + F.lit(0.5))
+                  .cast("long").alias("rc")))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum("rc").cast("long").alias("total_revenue_c"))
+    mx = rev.agg(F.max("total_revenue_c").alias("m"))
+    win = (rev.crossJoin(F.broadcast(mx))
+           .filter(F.col("total_revenue_c") == F.col("m")))
+    sup = (spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+           .select("s_suppkey", "s_name"))
+    return (win.join(sup, win.l_suppkey == sup.s_suppkey)
+            .select(F.col("s_suppkey").cast("long"), "s_name",
+                    "total_revenue_c"))

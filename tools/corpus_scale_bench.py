@@ -52,6 +52,17 @@ WAVE2 = [
     ("corpus_sample_weighted", q.corpus_sample_weighted),
     ("corpus_token_entropy", q.corpus_token_entropy),
 ]
+# r4 wave 3 — all claimed vocab- or token-linear except IVFADC, whose
+# scan grows with corpus×probed-cell occupancy (cells fixed at 16 here,
+# so ~linear in vectors):
+WAVE3 = [
+    ("corpus_bpe_pairs", q.corpus_bpe_pairs),
+    ("corpus_bpe_merge2", q.corpus_bpe_merge2),
+    ("dedup_cdc_chunks", q.dedup_cdc_chunks),
+    ("corpus_sample_weighted_stratified",
+     q.corpus_sample_weighted_stratified),
+    ("ann_ivfpq_adc_topk", q.ann_ivfpq_adc_topk),
+]
 
 
 def timed(spark, fn, sf_dir) -> float:
@@ -69,6 +80,7 @@ def main() -> None:
         raise SystemExit("run tools/gen_sf1_corpus.py first")
     spark = get_spark("corpus-scale", master="local[32]")
     fam = (WAVE2 if "--wave2" in sys.argv
+           else WAVE3 if "--wave3" in sys.argv
            else LINEAR + ([] if skip_quad else QUADRATIC))
     out = {}
     for name, fn in fam:

@@ -373,6 +373,12 @@ AUDITS = [
      ["BroadcastExchange|BroadcastNestedLoopJoin", "Window",
       "HashAggregate|SortAggregate"],
      ["Python", "CartesianProduct"]),
+    # BPE iteration 2: everything on the compacted word-type frame;
+    # the chosen merge is a 1-row broadcast onto it
+    ("corpus_bpe_merge2",
+     ["Generate", "HashAggregate", "TakeOrderedAndProject",
+      "BroadcastExchange|BroadcastNestedLoopJoin"],
+     ["Python", "SortMergeJoin", "CartesianProduct"]),
 ]
 
 
