@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_lloyd_topk": q.ann_ivf_lloyd_topk,
         "ann_ivf_recall": q.ann_ivf_recall,
         "extract_boxes_xycut": q.extract_boxes_xycut,
+        "doc_lang_agreement": q.doc_lang_agreement,
+        "corpus_decontaminate_anti": q.corpus_decontaminate_anti,
         # --- r3-judge-verified (check_queries re-run, VERDICT r3) but
         # never driver-certified; next in line for the budget ---
         "tpch_pricing_summary": q.tpch_pricing_summary,
@@ -713,9 +715,10 @@ def _sample_rate_case_sql() -> str:
     return f"CASE {whens} ELSE {SAMPLE_DEFAULT_X1000} END"
 
 
-def _lang_ngram_sql() -> str:
+def _lang_ngram_sql(src: str = "documents") -> str:
     """DuckDB twin of textfn.lang_ngram_col, generated from the same
-    LANG_PROFILES so the two dialects cannot drift."""
+    LANG_PROFILES so the two dialects cannot drift. `src` lets callers
+    point the classifier at a derived (e.g. language-seeded) corpus."""
     from ocr_image_to_text_spark.functions.textfn import LANG_PROFILES
 
     langs = list(LANG_PROFILES)
@@ -732,7 +735,7 @@ def _lang_ngram_sql() -> str:
     return rf"""
             WITH d AS (SELECT doc_id, text,
                    list_distinct(regexp_extract_all(lower(coalesce(text, '')), '\w+')) dw
-                FROM documents),
+                FROM {src}),
             s AS (SELECT doc_id, text,
                    {score_cols}
                 FROM d)
@@ -944,6 +947,32 @@ def oracle_sql() -> dict[str, str]:
                 WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
                 ELSE 'en' END lang_detected
             FROM documents""",
+        "doc_lang_agreement": f"""
+            WITH sdocs AS (
+              SELECT doc_id, text || CASE cast(doc_id % 7 as int)
+                WHEN 1 THEN ' der die und das ist nicht mit ein'
+                WHEN 2 THEN ' le les et est dans pour que une'
+                WHEN 3 THEN ' el los las es y con para por'
+                WHEN 4 THEN ' \u4e2d\u6587\u8bed\u8a00\u68c0\u6d4b\u6d4b\u8bd5'
+                WHEN 5 THEN ' \u044d\u0442\u043e \u0442\u0435\u0441\u0442'
+                WHEN 6 THEN ' \u0647\u0630\u0627 \u0627\u062e\u062a\u0628\u0627\u0631'
+                ELSE '' END AS text
+              FROM documents),
+            a AS (
+              SELECT doc_id, CASE
+                WHEN length(text) < 20 THEN 'en'
+                WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN regexp_matches(text, '[\\x{{3040}}-\\x{{30ff}}]') THEN 'ja'
+                WHEN regexp_matches(text, '[\\x{{ac00}}-\\x{{d7af}}]') THEN 'ko'
+                WHEN regexp_matches(text, '[\\x{{0600}}-\\x{{06ff}}]') THEN 'ar'
+                WHEN regexp_matches(text, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
+                ELSE 'en' END lang_cascade
+              FROM sdocs),
+            b AS ({_lang_ngram_sql(src="sdocs")})
+            SELECT a.lang_cascade, b.lang_detected AS lang_ngram,
+                   cast(count(*) as bigint) n_docs
+            FROM a JOIN b USING (doc_id)
+            GROUP BY a.lang_cascade, b.lang_detected""",
         "doc_lang_ngram": _lang_ngram_sql(),
         "doc_stats": r"""
             SELECT doc_id,
@@ -1722,6 +1751,22 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct bench_id) as bigint) n_bench_docs
             FROM corp JOIN bench USING (gram)
             GROUP BY corp.doc_id""",
+        "corpus_decontaminate_anti": r"""
+            WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws
+                       FROM documents),
+            shl AS (SELECT doc_id,
+                      list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                    i -> array_to_string(list_slice(ws, i, i + 2), ' '))) shs
+                    FROM w),
+            sh AS (SELECT doc_id, unnest(shs) gram FROM shl),
+            bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 47 = 0)
+            SELECT cast(d.doc_id as bigint) doc_id,
+                   cast(length(d.text) as bigint) n_chars
+            FROM documents d
+            WHERE d.doc_id % 47 != 0
+              AND NOT EXISTS (
+                SELECT 1 FROM sh JOIN bench USING (gram)
+                WHERE sh.doc_id = d.doc_id)""",
         # Bloom-filter decontamination: the occupied-position set IS the
         # bit array; same md5 position hashes, all-k membership per gram.
         "corpus_decontaminate_bloom": _bloom_decontaminate_sql(),

@@ -3160,3 +3160,70 @@ def tpch_top_supplier(spark, sf_dir):
     return (win.join(sup, win.l_suppkey == sup.s_suppkey)
             .select(F.col("s_suppkey").cast("long"), "s_name",
                     "total_revenue_c"))
+
+
+LANG_SEED_SUFFIXES = [
+    "",                                      # %7 == 0: untouched
+    " der die und das ist nicht mit ein",    # de stopwords
+    " le les et est dans pour que une",      # fr stopwords
+    " el los las es y con para por",         # es stopwords
+    " \u4e2d\u6587\u8bed\u8a00\u68c0\u6d4b\u6d4b\u8bd5",  # zh script
+    " \u044d\u0442\u043e \u0442\u0435\u0441\u0442",        # ru script
+    " \u0647\u0630\u0627 \u0627\u062e\u062a\u0628\u0627\u0631",  # ar script
+]
+
+
+def _lang_seeded_text():
+    """Deterministic multilingual seeding (the doc_entities_seeded
+    convention): doc_id % 7 appends a language-marked suffix so BOTH
+    classifiers produce a spread — the organic sandbox corpus is
+    all-English and would certify only the (en, en) cell."""
+    out = F.col("text")
+    cls = F.col("doc_id") % 7
+    suffix = F.lit(LANG_SEED_SUFFIXES[0])
+    for i in range(1, 7):
+        suffix = F.when(cls == i, F.lit(LANG_SEED_SUFFIXES[i])) \
+            .otherwise(suffix)
+    return F.concat(out, suffix)
+
+
+def doc_lang_agreement(spark, sf_dir):
+    """Language-ID confusion matrix: the X8 cascade classifier vs the
+    stopword-profile n-gram classifier over the same (seeded) corpus —
+    the corpus-level agreement rollup a pipeline watches when swapping
+    language-ID models (per-cell counts localize WHERE the cheap
+    cascade and the profile model disagree; latin-stopword seeds split
+    the two classifiers, script seeds agree). Plan: ONE map-only
+    projection computes both classifications per row (single scan — no
+    self-join; the oracle joins two restatements, the engine never
+    does), then a tiny grouped count. Output:
+    (lang_cascade, lang_ngram, n_docs)."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id"), _lang_seeded_text().alias("t"))
+    d = d.select(
+        textfn.lang_col(F.col("t")).alias("lang_cascade"),
+        textfn.lang_ngram_col(F.col("t")).alias("lang_ngram"))
+    return d.groupBy("lang_cascade", "lang_ngram").agg(
+        F.count("*").cast("long").alias("n_docs"))
+
+
+def corpus_decontaminate_anti(spark, sf_dir):
+    """Decontamination as a CLEAN-set materialization (the left-anti
+    complement of corpus_decontaminate's flag rollup): corpus docs that
+    share NO word n-gram with the benchmark slice — what the training
+    job actually reads downstream. The contaminated-id frame reuses the
+    broadcast bench-gram index (eval sets are KB-MB against a 100 TB
+    corpus: map-side hash join, one distinct on doc_id), and the final
+    pass is ONE left-anti shuffle join of the doc frame against that
+    small id set. Output: (doc_id, n_chars)."""
+    docs = _docs(spark, sf_dir)
+    grams = dedup.shingle_array()
+    bench = (docs.filter(F.col("doc_id") % 47 == 0)
+             .select(F.explode(grams).alias("gram")).distinct())
+    corp = docs.filter(F.col("doc_id") % 47 != 0)
+    hit = (corp.select("doc_id", F.explode(grams).alias("gram"))
+           .join(F.broadcast(bench), "gram")
+           .select("doc_id").distinct())
+    return (corp.join(hit, "doc_id", "left_anti")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.length("text").cast("long").alias("n_chars")))

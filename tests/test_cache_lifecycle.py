@@ -24,8 +24,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # Deliberate cross-query reuse that release_caches leaves alive: the
 # session-scoped extraction cache (one persisted frame per layout
-# variant v1/v2/v3).
-MAX_RESIDENT_AFTER_RELEASE = 3
+# variant v1/v2/v3/xycut).
+MAX_RESIDENT_AFTER_RELEASE = 4
 
 
 def _persistent_count(spark) -> int:

@@ -379,6 +379,14 @@ AUDITS = [
      ["Generate", "HashAggregate", "TakeOrderedAndProject",
       "BroadcastExchange|BroadcastNestedLoopJoin"],
      ["Python", "SortMergeJoin", "CartesianProduct"]),
+    # lang confusion matrix: ONE projection computes BOTH classifiers —
+    # no join anywhere (the oracle joins two restatements, we never do)
+    ("doc_lang_agreement", ["HashAggregate"],
+     ["Python", "Join", "CartesianProduct", "Window"]),
+    # anti-decontamination: broadcast bench-gram index + ONE left-anti
+    ("corpus_decontaminate_anti",
+     ["BroadcastHashJoin", "LeftAnti"],
+     ["Python", "CartesianProduct"]),
 ]
 
 
