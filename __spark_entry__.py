@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boxes_xycut": q.extract_boxes_xycut,
         "doc_lang_agreement": q.doc_lang_agreement,
         "corpus_decontaminate_anti": q.corpus_decontaminate_anti,
+        "extract_box_overlaps": q.extract_box_overlaps,
         # --- r3-judge-verified (check_queries re-run, VERDICT r3) but
         # never driver-certified; next in line for the budget ---
         "tpch_pricing_summary": q.tpch_pricing_summary,
@@ -798,6 +799,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_boxes_xycut": f"""
             SELECT conv_id, turn_idx, extracted_text
             FROM read_parquet('{_g("boxes_xycut")}')""",
+        "extract_box_overlaps": f"""
+            SELECT conv_id, turn_idx, n_boxes, n_overlap_pairs,
+                   max_iou_x1e6
+            FROM read_parquet('{_g("overlap")}')""",
         "extract_kind_metrics": f"""
             SELECT kind, count(*) n_turns,
                    cast(sum(chars_in) as bigint) sum_chars_in,

@@ -50,6 +50,15 @@ BOXES_VARIANT_SCHEMA = pa.schema([
 ])
 
 
+OVERLAP_GOLD_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", _I32),
+    ("n_boxes", _I32),
+    ("n_overlap_pairs", _I32),
+    ("max_iou_x1e6", pa.int64()),
+])
+
+
 def golden_path(tier: str, name: str) -> str:
     return os.path.join(warehouse_dir(), "golden", f"{name}_{tier}.parquet")
 
@@ -336,6 +345,37 @@ ANGLE_SCHEMA = pa.schema([
     ("rotation", _I32),
     ("n_lines", _I32),
 ])
+
+
+def ensure_overlap_golden(sf_dir: str) -> str:
+    """Dilated box-overlap golden: per boxes turn, pair count and max
+    dilated IoU (pyref.box_overlap_stats — the naive double loop)."""
+    import pyarrow.parquet as _pq
+
+    tier = tier_for_sf_dir(sf_dir)
+    path = golden_path(tier, "overlap")
+    if os.path.exists(path):
+        return path
+    tpath = ensure_transcripts(tier)
+    table = _pq.read_table(tpath, columns=["conv_id", "turn_idx", "text", "tool"])
+    rows = []
+    for conv_id, turn_idx, text, tool in zip(
+        table.column("conv_id").to_pylist(),
+        table.column("turn_idx").to_pylist(),
+        table.column("text").to_pylist(),
+        table.column("tool").to_pylist(),
+    ):
+        if pyref.classify_kind(text, tool) != "boxes":
+            continue
+        r = pyref.box_overlap_stats(tool)
+        if r is None:
+            continue  # empty payload → no geometry
+        n_boxes, n_pairs, max_iou = r
+        rows.append({"conv_id": conv_id, "turn_idx": turn_idx,
+                     "n_boxes": n_boxes, "n_overlap_pairs": n_pairs,
+                     "max_iou_x1e6": max_iou})
+    _write(path, rows, OVERLAP_GOLD_SCHEMA)
+    return path
 
 
 def ensure_angle_golden(sf_dir: str) -> str:

@@ -815,3 +815,45 @@ def extract_turn(text: str, tool: str, variant: str = "v2", geometry: str = "eas
         "chars_out": len(extracted),
         "table_flag": table_flag,
     }
+
+
+# ENGINE ADDITION — dilated box-overlap statistics (the detection-merge
+# telemetry behind the north_star's "layout-box interval trees" term).
+# Naive pure-Python twin of operators/overlap.py (vectorized numpy);
+# equality pinned by tests/test_overlap.py and the extract_box_overlaps
+# golden oracle. Margin and per-pair arithmetic order are shared
+# verbatim with the engine kernel.
+BOX_OVERLAP_MARGIN = 6.0
+
+
+def box_overlap_stats(payload_json: str):
+    """Returns (n_boxes, n_overlap_pairs, max_iou_x1e6) or None."""
+    import math
+
+    payload = json.loads(payload_json)
+    boxes = payload.get("boxes", [])
+    n = len(boxes)
+    if n == 0:
+        return None
+    m = BOX_OVERLAP_MARGIN
+    x0 = [min(p[0] for p in b[0]) - m for b in boxes]
+    x1 = [max(p[0] for p in b[0]) + m for b in boxes]
+    y0 = [min(p[1] for p in b[0]) - m for b in boxes]
+    y1 = [max(p[1] for p in b[0]) + m for b in boxes]
+    area = [(x1[i] - x0[i]) * (y1[i] - y0[i]) for i in range(n)]
+    n_pairs = 0
+    best = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            ix = min(x1[i], x1[j]) - max(x0[i], x0[j])
+            iy = min(y1[i], y1[j]) - max(y0[i], y0[j])
+            if ix > 0 and iy > 0:
+                inter = ix * iy
+                iou = inter / (area[i] + area[j] - inter)
+                n_pairs += 1
+                v = int(math.floor(iou * 1e6))
+                if v > best:
+                    best = v
+    if n_pairs == 0:
+        return (n, 0, 0)
+    return (n, n_pairs, best)

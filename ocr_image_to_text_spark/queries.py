@@ -3227,3 +3227,32 @@ def corpus_decontaminate_anti(spark, sf_dir):
     return (corp.join(hit, "doc_id", "left_anti")
             .select(F.col("doc_id").cast("long").alias("doc_id"),
                     F.length("text").cast("long").alias("n_chars")))
+
+
+def extract_box_overlaps(spark, sf_dir):
+    """Dilated box-overlap telemetry per boxes turn — the detection-
+    merge statistic behind the north_star's 'layout-box interval trees'
+    term: each token box dilated by 6px, pair count of intersecting
+    dilated bounds + the max dilated IoU (floored x1e6 per PAIR, so the
+    max is an order-free integer reduction). Plan: JVM kind sniff
+    (pushed filter) → ONE ArrowEvalPython over boxes payloads →
+    null-drop; per-turn pairwise numpy (tens of tokens — the interval
+    sweep is the documented path for pathological single-turn box
+    counts, which the salt shuffle and F6 guards already bound). No
+    shuffle — map-side, linear. Oracle: pyref.box_overlap_stats golden
+    (naive double loop, bit-exact shared arithmetic). Output:
+    (conv_id, turn_idx, n_boxes, n_overlap_pairs, max_iou_x1e6)."""
+    from .golden import ensure_overlap_golden
+    from .operators.extract import kind_col
+    from .operators.overlap import overlap_udf
+    from .transcripts import tier_for_sf_dir
+
+    if tier_for_sf_dir(sf_dir) != "bench":
+        ensure_overlap_golden(sf_dir)
+    t = _transcripts(spark, sf_dir)
+    return (t.filter(kind_col() == "boxes")
+            .select("conv_id", "turn_idx",
+                    overlap_udf(F.col("tool")).alias("o"))
+            .select("conv_id", "turn_idx", "o.n_boxes",
+                    "o.n_overlap_pairs", "o.max_iou_x1e6")
+            .filter(F.col("n_boxes").isNotNull()))

@@ -387,6 +387,9 @@ AUDITS = [
     ("corpus_decontaminate_anti",
      ["BroadcastHashJoin", "LeftAnti"],
      ["Python", "CartesianProduct"]),
+    # box overlaps: kind-sniffed scan → one Arrow UDF, map-side only
+    ("extract_box_overlaps", ["ArrowEvalPython", "ReadSchema"],
+     ["Exchange", "BatchEvalPython", "Join"]),
 ]
 
 
