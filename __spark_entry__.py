@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_agreement": q.doc_lang_agreement,
         "corpus_decontaminate_anti": q.corpus_decontaminate_anti,
         "extract_box_overlaps": q.extract_box_overlaps,
+        "ann_ivfpq_residual_topk": q.ann_ivfpq_residual_topk,
         # --- r3-judge-verified (check_queries re-run, VERDICT r3) but
         # never driver-certified; next in line for the budget ---
         "tpch_pricing_summary": q.tpch_pricing_summary,
@@ -552,6 +553,102 @@ def _ivfpq_adc_sql(m: int = 4, ksub: int = 16, dim: int = 64,
               {code_joins}
               JOIN asn a ON a.vec_id = k0.vec_id
               JOIN probe p ON p.cell = a.cell
+              {lut_joins})""")
+    cte_block = ",\n            ".join(ctes)
+    return f"""
+            WITH {cte_block}
+            SELECT cast(query_id as bigint) query_id,
+                   cast(rank as bigint) rank,
+                   cast(neighbor_id as bigint) neighbor_id,
+                   cast(adc_microsq as bigint) adc_microsq
+            FROM (
+              SELECT query_id, vec_id neighbor_id, adc adc_microsq,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc, vec_id) rank
+              FROM scan WHERE vec_id != query_id)
+            WHERE rank <= {k}"""
+
+
+def _ivfpq_residual_adc_sql(m: int = 4, ksub: int = 16, dim: int = 64,
+                            n_cells: int = 16, n_probe: int = 4,
+                            n_queries: int = 20, k: int = 3,
+                            seed_base: int = 16) -> str:
+    """DuckDB twin of ann_ivfpq_residual_topk: the faithful IVFPQ —
+    residual frames per cell, residual-seeded codebooks, per-(query,
+    probed-cell) LUTs. Residual subtraction is one IEEE double op, so
+    the micro-unit integer distances match Spark bit-for-bit."""
+    dsub = dim // m
+    ctes = ["b AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)"]
+    ctes.append(
+        f"cc AS (SELECT vec_id cid, e ce FROM b WHERE vec_id < {n_cells})")
+    ctes.append("""cad AS (
+              SELECT v.vec_id, c.cid,
+                     round(list_sum(list_transform(
+                       generate_series(1, len(v.e)),
+                       i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))), 9) d
+              FROM b v, cc c)""")
+    ctes.append("""asn AS (
+              SELECT vec_id, cid cell FROM
+                (SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d, cid) rn FROM cad)
+              WHERE rn = 1)""")
+    ctes.append(f"""probe AS (
+              SELECT vec_id query_id, cid cell FROM
+                (SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d, cid) rn
+                 FROM cad WHERE vec_id < {n_queries})
+              WHERE rn <= {n_probe})""")
+    ctes.append("""res AS (
+              SELECT b.vec_id, a.cell,
+                     list_transform(generate_series(1, len(b.e)),
+                                    i -> b.e[i] - c.ce[i]) re
+              FROM b JOIN asn a ON a.vec_id = b.vec_id
+                     JOIN cc c ON c.cid = a.cell)""")
+    for ss in range(m):
+        lo = ss * dsub + 1
+        ctes.append(
+            f"rsb{ss} AS (SELECT vec_id, cell,"
+            f" list_slice(re, {lo}, {lo + dsub - 1}) se FROM res)")
+        ctes.append(
+            f"rc{ss} AS (SELECT vec_id - {seed_base} cid, se ce"
+            f" FROM rsb{ss} WHERE vec_id >= {seed_base}"
+            f" AND vec_id < {seed_base + ksub})")
+        ctes.append(f"""rad{ss} AS (
+              SELECT v.vec_id, c.cid,
+                     {_pq_micro_sqdist_sql("v.se", "c.ce", dsub)} d
+              FROM rsb{ss} v, rc{ss} c)""")
+        ctes.append(f"""rk{ss} AS (
+              SELECT vec_id, cid, d FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d, cid) rn FROM rad{ss})
+              WHERE rn = 1)""")
+    ctes.append("""qres AS (
+              SELECT p.query_id, p.cell,
+                     list_transform(generate_series(1, len(q.e)),
+                                    i -> q.e[i] - c.ce[i]) qre
+              FROM probe p JOIN b q ON q.vec_id = p.query_id
+                           JOIN cc c ON c.cid = p.cell)""")
+    for ss in range(m):
+        lo = ss * dsub + 1
+        ctes.append(f"""lut{ss} AS (
+              SELECT qr.query_id, qr.cell, c.cid,
+                     {_pq_micro_sqdist_sql(
+                         f"list_slice(qr.qre, {lo}, {lo + dsub - 1})",
+                         "c.ce", dsub)} d
+              FROM qres qr, rc{ss} c)""")
+    code_joins = "\n              ".join(
+        f"JOIN rk{ss} USING (vec_id)" for ss in range(1, m))
+    lut_joins = "\n              ".join(
+        f"JOIN lut{ss} l{ss} ON l{ss}.cid = rk{ss}.cid"
+        f" AND l{ss}.query_id = p.query_id AND l{ss}.cell = p.cell"
+        for ss in range(m))
+    adc = " + ".join(f"l{ss}.d" for ss in range(m))
+    ctes.append(f"""scan AS (
+              SELECT rk0.vec_id, p.query_id, {adc} adc
+              FROM rk0
+              {code_joins}
+              JOIN res r ON r.vec_id = rk0.vec_id
+              JOIN probe p ON p.cell = r.cell
               {lut_joins})""")
     cte_block = ",\n            ".join(ctes)
     return f"""
@@ -2211,6 +2308,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_encode": _pq_sql(),
         "ann_pq_adc_topk": _pq_adc_sql(),
         "ann_ivfpq_adc_topk": _ivfpq_adc_sql(),
+        "ann_ivfpq_residual_topk": _ivfpq_residual_adc_sql(),
         # MinHash-LSH recall vs the exact Jaccard pair set (shared
         # shingle/jaccard/signature fragments; LEFT JOIN counts misses).
         "dedup_minhash_recall": f"""

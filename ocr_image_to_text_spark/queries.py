@@ -3256,3 +3256,12 @@ def extract_box_overlaps(spark, sf_dir):
             .select("conv_id", "turn_idx", "o.n_boxes",
                     "o.n_overlap_pairs", "o.max_iou_x1e6")
             .filter(F.col("n_boxes").isNotNull()))
+
+
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    """Residual-encoded IVFADC — the faithful Faiss IndexIVFPQ; see
+    similarity.ivfpq_residual_adc_topk."""
+    emb, dim = _emb(spark, sf_dir)
+    return similarity.ivfpq_residual_adc_topk(
+        emb, n_queries=20, k=3, m=4, ksub=16, n_cells=16, n_probe=4,
+        dim=dim)

@@ -587,17 +587,25 @@ def _pq_micro_sqdist(a, b, dsub: int):
     return dist
 
 
-def _pq_codes(base: DataFrame, m: int, ksub: int, dim: int):
+def _pq_codes(base: DataFrame, m: int, ksub: int, dim: int,
+              seed_base: int = 0):
     """Shared PQ core: per-subspace seed codebooks (sub-vectors of the
-    ksub smallest vec_ids) and the per-vector code assignment. Returns
-    (codes_df with vec_id/code{s}/_err{s}, [codebook_df per subspace])."""
+    ksub smallest vec_ids at/above `seed_base`) and the per-vector code
+    assignment. `seed_base` matters when the input frame is a RESIDUAL
+    frame whose cell centroids were seeded from vec_id < n_cells: those
+    vectors' residuals are the zero vector, so seeding codewords from
+    the same range would collapse the codebook — residual callers seed
+    from the next disjoint id range. Returns (codes_df with
+    vec_id/code{s}/_err{s}, [codebook_df per subspace])."""
     dsub = dim // m
     parts, cents = [], []
     for s in range(m):
         sub = F.slice(F.col("_e"), s * dsub + 1, dsub)
         sb = base.select("vec_id", sub.alias("_se"))
-        cent = (sb.filter(F.col("vec_id") < ksub)
-                .select(F.col("vec_id").cast("int").alias("cid"),
+        cent = (sb.filter((F.col("vec_id") >= seed_base)
+                          & (F.col("vec_id") < seed_base + ksub))
+                .select((F.col("vec_id") - seed_base).cast("int")
+                        .alias("cid"),
                         F.col("_se").alias("_ce")))
         cents.append(cent)
         ad = sb.crossJoin(F.broadcast(cent)).select(
@@ -706,11 +714,12 @@ def ivfpq_adc_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
     probed cells and PQ asymmetric distance ranks inside them — THE
     billion-scale ANN layout (inverted cells bound candidate count,
     m-byte codes bound memory; 10^9 vectors fit a few GB per executor).
-    Stated simplification vs Faiss: codes encode the RAW vectors, not
-    the per-cell residuals — residual encoding would interpose a float
-    subtraction before quantization and break the integer-exact oracle
-    chain; every distributed mechanism (cell-partitioned code table,
-    broadcast probe list, broadcast LUTs) is identical.
+    This variant codes the RAW vectors (simplest LUT shape: one per
+    query); ivfpq_residual_adc_topk below is the faithful
+    residual-encoded form (one LUT per query×probed-cell, lower
+    quantization error). Every distributed mechanism
+    (cell-partitioned code table, broadcast probe list, broadcast
+    LUTs) is shared between the two.
 
     Distributed shape: the centroid table is broadcast for assignment
     (the argmin shuffles (vec_id, struct) rows, never vectors); the
@@ -750,6 +759,88 @@ def ivfpq_adc_topk(emb: DataFrame, n_queries: int = 20, k: int = 3,
             _pq_micro_sqdist(F.col("_qe"), F.col("_ce"), dsub)
             .alias(f"_d{s}"))
         scan = scan.join(F.broadcast(lut), ["query_id", f"code{s}"])
+    adc = None
+    for s in range(m):
+        c = F.col(f"_d{s}")
+        adc = c if adc is None else adc + c
+    ranked = (scan.filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      adc.cast("long").alias("adc_microsq")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_microsq"), F.asc("neighbor_id"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("query_id").cast("long"),
+                    F.col("rank").cast("long"),
+                    F.col("neighbor_id").cast("long"), "adc_microsq"))
+
+
+def ivfpq_residual_adc_topk(emb: DataFrame, n_queries: int = 20,
+                            k: int = 3, m: int = 4, ksub: int = 16,
+                            n_cells: int = 16, n_probe: int = 4,
+                            dim: int = EMB_DIM) -> DataFrame:
+    """Residual-encoded IVFADC — the FAITHFUL Faiss IndexIVFPQ
+    (Jégou et al. 2011 §V eq. 14): each database vector is PQ-coded on
+    its RESIDUAL from its cell centroid (residuals are centered → far
+    lower quantization error than raw-vector codes), and each query
+    builds one LUT per PROBED CELL from its residual against that
+    cell's centroid. ivfpq_adc_topk remains the raw-vector variant;
+    this one retires its stated simplification — the residual subtract
+    is a plain IEEE double op, so the integer micro-unit distance chain
+    stays bit-exact across engines.
+
+    Distributed shape: identical to ivfpq_adc_topk plus one broadcast
+    centroid join to form residuals (zip_with — JVM HOF, no Python);
+    LUTs grow to n_queries·n_probe·ksub rows per subspace — still KBs,
+    still broadcast; the code table is still scanned cell-restricted
+    with no shuffle. Output: (query_id, rank, neighbor_id,
+    adc_microsq)."""
+    dsub = dim // m
+    base = tracked_cache(emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_e")))
+    cent = coarse_centroids(base, n_cells, dim)
+    ad = (base.select("vec_id", "_e").crossJoin(F.broadcast(cent))
+          .select("vec_id", "cid", _centroid_dist(dim).alias("d")))
+    asn = (ad.groupBy("vec_id")
+           .agg(F.min(F.struct("d", "cid")).alias("mn"))
+           .select("vec_id", F.col("mn.cid").alias("cell")))
+    wq = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    probes = (ad.filter(F.col("vec_id") < n_queries)
+              .withColumn("prank", F.row_number().over(wq))
+              .filter(F.col("prank") <= n_probe)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("cid").alias("cell")))
+    cellc = cent.select(F.col("cid").alias("cell"),
+                        F.col("_ce").alias("_cc"))
+    res = tracked_cache(
+        base.join(asn, "vec_id").join(F.broadcast(cellc), "cell")
+        .select("vec_id", "cell",
+                F.zip_with("_e", "_cc", lambda a, b: a - b).alias("_e")))
+    # codeword seeds come from the id range AFTER the coarse seeds:
+    # vec_id < n_cells residuals are exactly zero (their own embeddings
+    # ARE the centroids), which would collapse the codebook
+    codes, rcents = _pq_codes(res.select("vec_id", "_e"), m, ksub, dim,
+                              seed_base=n_cells)
+    scan = (codes.select("vec_id", *[f"code{s}" for s in range(m)])
+            .join(res.select("vec_id", "cell"), "vec_id")
+            .join(F.broadcast(probes), "cell"))
+    qv = (base.filter(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("_e").alias("_qe")))
+    qres = (probes.join(qv, "query_id").join(F.broadcast(cellc), "cell")
+            .select("query_id", "cell",
+                    F.zip_with("_qe", "_cc",
+                               lambda a, b: a - b).alias("_qr")))
+    for s in range(m):
+        sub = F.slice(F.col("_qr"), s * dsub + 1, dsub)
+        lut = (qres.select("query_id", "cell", sub.alias("_q"))
+               .crossJoin(F.broadcast(rcents[s]))
+               .select("query_id", "cell",
+                       F.col("cid").cast("long").alias(f"code{s}"),
+                       _pq_micro_sqdist(F.col("_q"), F.col("_ce"), dsub)
+                       .alias(f"_d{s}")))
+        scan = scan.join(F.broadcast(lut),
+                         ["query_id", "cell", f"code{s}"])
     adc = None
     for s in range(m):
         c = F.col(f"_d{s}")

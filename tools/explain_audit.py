@@ -390,6 +390,12 @@ AUDITS = [
     # box overlaps: kind-sniffed scan → one Arrow UDF, map-side only
     ("extract_box_overlaps", ["ArrowEvalPython", "ReadSchema"],
      ["Exchange", "BatchEvalPython", "Join"]),
+    # residual IVFADC: same broadcast-driven shape as the raw variant
+    # (one extra broadcast centroid join to form residuals)
+    ("ann_ivfpq_residual_topk",
+     ["BroadcastExchange|BroadcastNestedLoopJoin", "Window",
+      "HashAggregate|SortAggregate"],
+     ["Python", "CartesianProduct"]),
 ]
 
 
