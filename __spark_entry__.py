@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate_anti": q.corpus_decontaminate_anti,
         "extract_box_overlaps": q.extract_box_overlaps,
         "ann_ivfpq_residual_topk": q.ann_ivfpq_residual_topk,
+        "doc_quality_decile_bounds": q.doc_quality_decile_bounds,
+        "tpch_nation_volume": q.tpch_nation_volume,
         # --- r3-judge-verified (check_queries re-run, VERDICT r3) but
         # never driver-certified; next in line for the budget ---
         "tpch_pricing_summary": q.tpch_pricing_summary,
@@ -2389,6 +2391,33 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(q_x1e6) as bigint) max_q_x1e6,
                    cast(sum(q_x1e6) as bigint) sum_q_x1e6
             FROM d GROUP BY source, decile""",
+        "doc_quality_decile_bounds": r"""
+            WITH d AS (
+              SELECT source, cast(floor(
+                       (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                           least(1.0, length(text) / 100.0)
+                           * (length(regexp_replace(text, '[^A-Za-z0-9\s]',
+                                                    '', 'g'))
+                              / cast(length(text) as double))
+                        END) * 1000000 + 0.5) as bigint) q_x1e6
+              FROM documents),
+            bo AS (
+              SELECT source,
+                     cast(floor(quantile_cont(q_x1e6, 0.1)) as bigint) b1,
+                     cast(floor(quantile_cont(q_x1e6, 0.2)) as bigint) b2,
+                     cast(floor(quantile_cont(q_x1e6, 0.3)) as bigint) b3,
+                     cast(floor(quantile_cont(q_x1e6, 0.4)) as bigint) b4,
+                     cast(floor(quantile_cont(q_x1e6, 0.5)) as bigint) b5,
+                     cast(floor(quantile_cont(q_x1e6, 0.6)) as bigint) b6,
+                     cast(floor(quantile_cont(q_x1e6, 0.7)) as bigint) b7,
+                     cast(floor(quantile_cont(q_x1e6, 0.8)) as bigint) b8,
+                     cast(floor(quantile_cont(q_x1e6, 0.9)) as bigint) b9
+              FROM d GROUP BY source)
+            SELECT d.source,
+                   cast(1 + CASE WHEN d.q_x1e6 > bo.b1 THEN 1 ELSE 0 END + CASE WHEN d.q_x1e6 > bo.b2 THEN 1 ELSE 0 END + CASE WHEN d.q_x1e6 > bo.b3 THEN 1 ELSE 0 END + CASE WHEN d.q_x1e6 > bo.b4 THEN 1 ELSE 0 END + CASE WHEN d.q_x1e6 > bo.b5 THEN 1 ELSE 0 END + CASE WHEN d.q_x1e6 > bo.b6 THEN 1 ELSE 0 END + CASE WHEN d.q_x1e6 > bo.b7 THEN 1 ELSE 0 END + CASE WHEN d.q_x1e6 > bo.b8 THEN 1 ELSE 0 END + CASE WHEN d.q_x1e6 > bo.b9 THEN 1 ELSE 0 END as bigint) decile,
+                   cast(count(*) as bigint) n_docs
+            FROM d JOIN bo ON bo.source = d.source
+            GROUP BY d.source, decile""",
         # Token entropy: H = ln N − (Σ n·ln n)/N, every term floored on
         # the 1e6 grid before the order-independent integer sum.
         "corpus_token_entropy": r"""
@@ -2657,6 +2686,31 @@ def oracle_sql() -> dict[str, str]:
             FROM rev, mx
             JOIN supplier s ON s.s_suppkey = rev.l_suppkey
             WHERE rev.total_revenue_c = mx.m""",
+        "tpch_nation_volume": r"""
+            WITH s AS (
+              SELECT s_suppkey, n_name supp_nation
+              FROM supplier s JOIN nation n
+                ON n.n_nationkey = s.s_nationkey),
+            c AS (
+              SELECT c_custkey, n_name cust_nation
+              FROM customer c JOIN nation n
+                ON n.n_nationkey = c.c_nationkey)
+            SELECT s.supp_nation, c.cust_nation,
+                   cast(year(l.l_shipdate) as bigint) l_year,
+                   cast(count(*) as bigint) n_lines,
+                   cast(sum(cast(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100.0 + 0.5)
+                                 as bigint)) as bigint) revenue_c
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN s ON s.s_suppkey = l.l_suppkey
+            JOIN c ON c.c_custkey = o.o_custkey
+            WHERE s.supp_nation IN ('NATION_0', 'NATION_1')
+              AND c.cust_nation IN ('NATION_0', 'NATION_1')
+              AND s.supp_nation != c.cust_nation
+              AND l.l_shipdate >= timestamp '1995-01-01'
+              AND l.l_shipdate <  timestamp '1997-01-01'
+            GROUP BY s.supp_nation, c.cust_nation, l_year""",
         # (every queries() entry now has an oracle twin: chunks_modern
         # reads the pyref golden parquet; ann_lsh_topk restates the
         # deterministic hyperplane signature in SQL.)

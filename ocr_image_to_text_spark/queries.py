@@ -3265,3 +3265,72 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     return similarity.ivfpq_residual_adc_topk(
         emb, n_queries=20, k=3, m=4, ksub=16, n_cells=16, n_probe=4,
         dim=dim)
+
+
+def doc_quality_decile_bounds(spark, sf_dir):
+    """The scale escape hatch documented on doc_quality_deciles, made
+    real: percentile-BOUNDARY decile assignment. A stratum too large to
+    stream-sort through an ntile window instead computes nine exact
+    interpolated boundaries per source (tens of rows — `percentile`
+    aggregates with map-side partial state), BROADCASTS them back, and
+    assigns each doc its decile map-side as 1 + Σ[q > b_i]; one rollup
+    shuffle ends the plan. Ties share a bucket here (boundary
+    semantics) where ntile splits them positionally — the two queries
+    certify both definitions. Boundaries are floored to the integer
+    grid so every comparison is bigint-vs-bigint. Output:
+    (source, decile, n_docs)."""
+    score = textfn.score_v1_col(F.col("text"))
+    base = _docs(spark, sf_dir).select(
+        "source",
+        F.floor(score * 1e6 + F.lit(0.5)).cast("long").alias("q_x1e6"))
+    baggs = [F.floor(F.expr(f"percentile(q_x1e6, {i / 10})"))
+             .cast("long").alias(f"b{i}") for i in range(1, 10)]
+    bounds = base.groupBy("source").agg(*baggs)
+    dec = sum((F.col("q_x1e6") > F.col(f"b{i}")).cast("long")
+              for i in range(1, 10)) + F.lit(1)
+    return (base.join(F.broadcast(bounds), "source")
+            .select("source", dec.cast("long").alias("decile"))
+            .groupBy("source", "decile")
+            .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+def tpch_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): the
+    self-aliased fixed dimension — nation joins the pipeline TWICE in
+    different roles (supplier side and customer side), both as
+    broadcasts (25 rows, the only legal hints here); lineitem-orders
+    shuffle-join on orderkey and the supplier/customer attachments
+    shuffle on their keys (SF-linear, never hinted). The
+    cross-filter (two nations, roles must differ) and the shipdate
+    window are pushed predicates. Revenue in per-row floored cents.
+    Output: (supp_nation, cust_nation, l_year, n_lines, revenue_c)."""
+    nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    sup = (spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == nat.n_nationkey)
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cus = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+           .join(F.broadcast(nat),
+                 F.col("c_nationkey") == nat.n_nationkey)
+           .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .filter((F.col("l_shipdate") >= "1995-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01"))
+          .select("l_orderkey", "l_suppkey",
+                  F.year("l_shipdate").cast("long").alias("l_year"),
+                  F.floor(F.col("l_extendedprice")
+                          * (F.lit(1.0) - F.col("l_discount"))
+                          * 100.0 + F.lit(0.5))
+                  .cast("long").alias("rc")))
+    orders = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .select("o_orderkey", "o_custkey"))
+    two = ["NATION_0", "NATION_1"]
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(sup, li.l_suppkey == sup.s_suppkey)
+         .join(cus, orders.o_custkey == cus.c_custkey)
+         .filter(F.col("supp_nation").isin(two)
+                 & F.col("cust_nation").isin(two)
+                 & (F.col("supp_nation") != F.col("cust_nation"))))
+    return (j.groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum("rc").cast("long").alias("revenue_c")))

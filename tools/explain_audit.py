@@ -396,6 +396,17 @@ AUDITS = [
      ["BroadcastExchange|BroadcastNestedLoopJoin", "Window",
       "HashAggregate|SortAggregate"],
      ["Python", "CartesianProduct"]),
+    # percentile-boundary deciles: tiny bounds frame broadcast back,
+    # map-side assignment, one rollup — no window, no global sort
+    ("doc_quality_decile_bounds",
+     ["HashAggregate|ObjectHashAggregate|SortAggregate",
+      "BroadcastExchange|BroadcastNestedLoopJoin"],
+     ["Python", "Window", "CartesianProduct"]),
+    # Q7: nation broadcast TWICE in different roles, everything else
+    # shuffle-joined; shipdate window pushed
+    ("tpch_nation_volume",
+     ["BroadcastHashJoin", "HashAggregate", "PushedFilters"],
+     ["Python", "CartesianProduct", "Window"]),
 ]
 
 
