@@ -31,7 +31,8 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--wave-size", type=int, default=8)
-    ap.add_argument("--variant", default="v2", choices=["v1", "v2", "v3"])
+    ap.add_argument("--variant", default="v2",
+                choices=["v1", "v2", "v3", "xycut"])
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--fail-after-waves", type=int, default=None,
                     help="inject a crash after N waves (resume testing)")
