@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_residual_topk": q.ann_ivfpq_residual_topk,
         "doc_quality_decile_bounds": q.doc_quality_decile_bounds,
         "tpch_nation_volume": q.tpch_nation_volume,
+        "tpch_market_share": q.tpch_market_share,
         # --- r3-judge-verified (check_queries re-run, VERDICT r3) but
         # never driver-certified; next in line for the budget ---
         "tpch_pricing_summary": q.tpch_pricing_summary,
@@ -2711,6 +2712,28 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate >= timestamp '1995-01-01'
               AND l.l_shipdate <  timestamp '1997-01-01'
             GROUP BY s.supp_nation, c.cust_nation, l_year""",
+        "tpch_market_share": r"""
+            WITH s AS (
+              SELECT s_suppkey, n_name supp_nation
+              FROM supplier s JOIN nation n
+                ON n.n_nationkey = s.s_nationkey),
+            a AS (
+              SELECT cast(year(l.l_shipdate) as bigint) l_year,
+                     cast(sum(CASE WHEN s.supp_nation = 'NATION_3'
+                                   THEN cast(floor(l.l_extendedprice
+                                        * (1 - l.l_discount) * 100.0 + 0.5)
+                                        as bigint)
+                                   ELSE 0 END) as bigint) nation_rev_c,
+                     cast(sum(cast(floor(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100.0 + 0.5)
+                                   as bigint)) as bigint) total_rev_c
+              FROM lineitem l
+              JOIN s ON s.s_suppkey = l.l_suppkey
+              GROUP BY l_year)
+            SELECT l_year, nation_rev_c, total_rev_c,
+                   cast(floor(1000000.0 * nation_rev_c / total_rev_c)
+                        as bigint) share_x1e6
+            FROM a""",
         # (every queries() entry now has an oracle twin: chunks_modern
         # reads the pyref golden parquet; ann_lsh_topk restates the
         # deterministic hyperplane signature in SQL.)

@@ -3334,3 +3334,35 @@ def tpch_nation_volume(spark, sf_dir):
     return (j.groupBy("supp_nation", "cust_nation", "l_year")
             .agg(F.count("*").cast("long").alias("n_lines"),
                  F.sum("rc").cast("long").alias("revenue_c")))
+
+
+def tpch_market_share(spark, sf_dir, nation: str = "NATION_3"):
+    """TPC-H Q8 shape (national market share): one nation's share of
+    yearly supplier revenue as a conditional aggregate — the
+    numerator is a CASE inside the same sum as the denominator, so the
+    share needs NO second scan and no join of two aggregates. Supplier
+    joins its nation via the 25-row broadcast; lineitem-supplier is the
+    one data shuffle (both SF-linear, never hinted); share_x1e6 is a
+    floor over two exact bigint sums. Output:
+    (l_year, nation_rev_c, total_rev_c, share_x1e6)."""
+    nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    sup = (spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == nat.n_nationkey)
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    rc = (F.floor(F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount"))
+                  * 100.0 + F.lit(0.5)).cast("long"))
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .select("l_suppkey",
+                  F.year("l_shipdate").cast("long").alias("l_year"),
+                  rc.alias("rc")))
+    j = li.join(sup, li.l_suppkey == sup.s_suppkey)
+    agg = j.groupBy("l_year").agg(
+        F.sum(F.when(F.col("supp_nation") == nation, F.col("rc"))
+              .otherwise(F.lit(0))).cast("long").alias("nation_rev_c"),
+        F.sum("rc").cast("long").alias("total_rev_c"))
+    return agg.select(
+        "l_year", "nation_rev_c", "total_rev_c",
+        F.floor(F.lit(1000000.0) * F.col("nation_rev_c")
+                / F.col("total_rev_c")).cast("long").alias("share_x1e6"))

@@ -407,6 +407,11 @@ AUDITS = [
     ("tpch_nation_volume",
      ["BroadcastHashJoin", "HashAggregate", "PushedFilters"],
      ["Python", "CartesianProduct", "Window"]),
+    # Q8: conditional-aggregate market share — numerator and denominator
+    # in ONE grouped aggregate (no second scan, no join of aggregates)
+    ("tpch_market_share",
+     ["BroadcastHashJoin", "HashAggregate"],
+     ["Python", "CartesianProduct", "Window"]),
 ]
 
 
