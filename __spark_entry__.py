@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_decile_bounds": q.doc_quality_decile_bounds,
         "tpch_nation_volume": q.tpch_nation_volume,
         "tpch_market_share": q.tpch_market_share,
+        "events_retention": q.events_retention,
+        "conversation_quality_trend": q.conversation_quality_trend,
         # --- r3-judge-verified (check_queries re-run, VERDICT r3) but
         # never driver-certified; next in line for the budget ---
         "tpch_pricing_summary": q.tpch_pricing_summary,
@@ -903,6 +905,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, n_boxes, n_overlap_pairs,
                    max_iou_x1e6
             FROM read_parquet('{_g("overlap")}')""",
+        "conversation_quality_trend": f"""
+            WITH a AS (
+              SELECT conv_id,
+                     cast(count(*) as bigint) n,
+                     cast(sum(cast(turn_idx as bigint)) as bigint) sx,
+                     cast(sum(cast(chars_out as bigint)) as bigint) sy,
+                     cast(sum(cast(turn_idx as bigint)
+                              * cast(chars_out as bigint)) as bigint) sxy,
+                     cast(sum(cast(turn_idx as bigint)
+                              * cast(turn_idx as bigint)) as bigint) sxx
+              FROM read_parquet('{_g("extract")}')
+              GROUP BY conv_id)
+            SELECT conv_id, n AS n_turns,
+                   cast(n * sxy - sx * sy as bigint) num,
+                   cast(n * sxx - sx * sx as bigint) den,
+                   cast(floor(1000000.0 * (n * sxy - sx * sy)
+                              / (n * sxx - sx * sx)) as bigint) slope_x1e6
+            FROM a WHERE n * sxx - sx * sx > 0""",
         "extract_kind_metrics": f"""
             SELECT kind, count(*) n_turns,
                    cast(sum(chars_in) as bigint) sum_chars_in,
@@ -2734,6 +2754,21 @@ def oracle_sql() -> dict[str, str]:
                    cast(floor(1000000.0 * nation_rev_c / total_rev_c)
                         as bigint) share_x1e6
             FROM a""",
+        "events_retention": r"""
+            WITH daily AS (
+              SELECT DISTINCT user_id, cast(ts as date) d FROM events)
+            SELECT strftime(a.d, '%Y-%m-%d') AS "day",
+                   cast(count(*) as bigint) n_active,
+                   cast(sum(CASE WHEN b.user_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) as bigint) n_retained,
+                   cast(floor(1000000.0
+                              * sum(CASE WHEN b.user_id IS NOT NULL
+                                         THEN 1 ELSE 0 END)
+                              / count(*)) as bigint) retention_x1e6
+            FROM daily a
+            LEFT JOIN daily b ON b.user_id = a.user_id
+                             AND b.d = a.d + 1
+            GROUP BY a.d""",
         # (every queries() entry now has an oracle twin: chunks_modern
         # reads the pyref golden parquet; ann_lsh_topk restates the
         # deterministic hyperplane signature in SQL.)

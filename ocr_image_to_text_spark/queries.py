@@ -3366,3 +3366,61 @@ def tpch_market_share(spark, sf_dir, nation: str = "NATION_3"):
         "l_year", "nation_rev_c", "total_rev_c",
         F.floor(F.lit(1000000.0) * F.col("nation_rev_c")
                 / F.col("total_rev_c")).cast("long").alias("share_x1e6"))
+
+
+def events_retention(spark, sf_dir):
+    """Next-day user retention — the cohort-health rollup every event
+    pipeline publishes: per day, distinct active users and the share
+    also active the NEXT day. One distinct shuffle builds the (user,
+    day) frame; the day-shifted copy re-joins on the SAME
+    (user_id, day) key (co-partitioned equi-join — the date arithmetic
+    moves to the build side so no inequality join ever appears);
+    retention is a floor over two exact counts. Output:
+    (day, n_active, n_retained, retention_x1e6)."""
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select("user_id", F.to_date("ts").alias("d")))
+    daily = ev.distinct()
+    nxt = daily.select("user_id", F.date_sub("d", 1).alias("d"),
+                       F.lit(1).alias("r"))
+    j = (daily.join(nxt, ["user_id", "d"], "left")
+         .groupBy("d")
+         .agg(F.count("*").cast("long").alias("n_active"),
+              F.sum(F.coalesce(F.col("r"), F.lit(0))).cast("long")
+              .alias("n_retained")))
+    return j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_active", "n_retained",
+        F.floor(F.lit(1000000.0) * F.col("n_retained")
+                / F.col("n_active")).cast("long")
+        .alias("retention_x1e6"))
+
+
+def conversation_quality_trend(spark, sf_dir):
+    """Per-conversation extraction-yield trend: the least-squares slope
+    of chars_out over turn_idx — the drift signal that flags
+    conversations whose payloads degrade (or spike) over time. The
+    slope is decomposed into regression AGGREGATES (n, Σx, Σy, Σxy,
+    Σx²), all exact bigints under one conv_id shuffle with map-side
+    partials — numerator n·Σxy−Σx·Σy and denominator n·Σx²−(Σx)² are
+    integer-exact, and only the final x1e6 ratio divides. Conversations
+    with a single turn carry no trend and are excluded (den = 0).
+    Output: (conv_id, n_turns, num, den, slope_x1e6)."""
+    ext = _extracted(spark, sf_dir).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("x"),
+        F.col("chars_out").cast("long").alias("y"))
+    a = ext.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
+    num = a.n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = a.n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (a.select("conv_id", F.col("n").alias("n_turns"),
+                     num.cast("long").alias("num"),
+                     den.cast("long").alias("den"))
+            .filter(F.col("den") > 0)
+            .withColumn("slope_x1e6",
+                        F.floor(F.lit(1000000.0) * F.col("num")
+                                / F.col("den")).cast("long")))

@@ -412,6 +412,15 @@ AUDITS = [
     ("tpch_market_share",
      ["BroadcastHashJoin", "HashAggregate"],
      ["Python", "CartesianProduct", "Window"]),
+    # retention: distinct + ONE co-keyed equi-join (the day shift lives
+    # on the build side — an inequality join would betray a regression)
+    ("events_retention",
+     ["HashAggregate", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["Python", "CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # regression aggregates: one conv shuffle with map-side partials;
+    # the single ArrowEvalPython is the extraction dispatch
+    ("conversation_quality_trend", ["HashAggregate"],
+     ["BatchEvalPython", "CartesianProduct", "Window", "Join"]),
 ]
 
 
