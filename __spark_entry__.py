@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_market_share": q.tpch_market_share,
         "events_retention": q.events_retention,
         "conversation_quality_trend": q.conversation_quality_trend,
+        "dedup_fingerprint_pairs": q.dedup_fingerprint_pairs,
         # --- r3-judge-verified (check_queries re-run, VERDICT r3) but
         # never driver-certified; next in line for the budget ---
         "tpch_pricing_summary": q.tpch_pricing_summary,
@@ -857,6 +858,7 @@ def _lang_ngram_sql(src: str = "documents") -> str:
 def oracle_sql() -> dict[str, str]:
     from ocr_image_to_text_spark.dedup import simhash_expr_sql
     from ocr_image_to_text_spark.operators.fingerprint import (
+        fingerprint_pairs_sql_duckdb as _fingerprint_pairs_sql,
         fingerprint_sql_duckdb as _fingerprint_sql,
     )
     from ocr_image_to_text_spark.queries import (
@@ -1254,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         # (ocr_image_to_text_spark/operators/fingerprint.py) — rolling
         # Horner hash, not md5, so the kernel is vectorizable.
         "doc_fingerprints": _fingerprint_sql(),
+        "dedup_fingerprint_pairs": _fingerprint_pairs_sql(),
         "dedup_exact": """
             SELECT md5(text) text_hash, count(*) n_docs,
                    cast(min(doc_id) as bigint) keep_doc_id

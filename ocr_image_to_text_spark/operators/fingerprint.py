@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 FP_K = 7
 FP_W = 4
@@ -88,10 +88,40 @@ def _fp_one(t: str) -> tuple[int, int, int]:
     return len(fps), int(fps[0]), int(fps[-1])
 
 
+def _fp_set(t: str) -> list[int]:
+    """Full distinct fingerprint set (same kernel, full output) — feeds
+    the MOSS-style shared-fingerprint pair query."""
+    c = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    n = c.size
+    b = np.uint64(FP_B)
+    if n >= FP_K:
+        m = n - FP_K + 1
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(FP_K):
+            h = h * b + c[j:j + m]
+    else:
+        acc = 0
+        for cc in c.tolist():
+            acc = (acc * FP_B + cc) % _M64
+        h = np.array([acc], dtype=np.uint64)
+    h &= np.uint64(_MASK63)
+    if h.size >= FP_W:
+        wins = np.lib.stride_tricks.sliding_window_view(h, FP_W).min(axis=1)
+    else:
+        wins = h.min(keepdims=True)
+    return [int(v) for v in np.unique(wins)]
+
+
 @pandas_udf(FP_SCHEMA)
 def fingerprint_udf(text: pd.Series) -> pd.DataFrame:
     rows = [_fp_one(t or "") for t in text.to_numpy()]
     return pd.DataFrame(rows, columns=["n_fp", "min_fp", "max_fp"])
+
+
+@pandas_udf(ArrayType(LongType()))
+def fingerprint_set_udf(text: pd.Series) -> pd.Series:
+    return pd.Series([_fp_set(t if isinstance(t, str) else "")
+                      for t in text.to_numpy()])
 
 
 def fingerprint_sql_duckdb(table: str = "documents", text_col: str = "text",
@@ -120,3 +150,21 @@ def fingerprint_sql_duckdb(table: str = "documents", text_col: str = "text",
                list_aggregate(fps, 'min') min_fp,
                list_aggregate(fps, 'max') max_fp
         FROM wn"""
+
+
+def fingerprint_pairs_sql_duckdb(df_cap: int = 50, min_shared: int = 25,
+                                 table: str = "documents") -> str:
+    """DuckDB twin of the MOSS-style shared-fingerprint pair query:
+    the same winnowing CTEs, unnested, df-capped, self-joined."""
+    base = fingerprint_sql_duckdb(table=table)
+    i = base.find("SELECT doc_id, cast(len(fps)")
+    ctes = base[:i]
+    return ctes + f"""
+        , fp AS (SELECT doc_id, unnest(fps) f FROM wn),
+        cap AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= {df_cap}),
+        fpc AS (SELECT fp.doc_id, fp.f FROM fp JOIN cap USING (f))
+        SELECT cast(a.doc_id as bigint) doc_a,
+               cast(b.doc_id as bigint) doc_b,
+               cast(count(*) as bigint) n_shared_fp
+        FROM fpc a JOIN fpc b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b HAVING count(*) >= {min_shared}"""

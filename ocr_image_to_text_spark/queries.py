@@ -3424,3 +3424,33 @@ def conversation_quality_trend(spark, sf_dir):
             .withColumn("slope_x1e6",
                         F.floor(F.lit(1000000.0) * F.col("num")
                                 / F.col("den")).cast("long")))
+
+
+def dedup_fingerprint_pairs(spark, sf_dir, df_cap: int = 50,
+                            min_shared: int = 25):
+    """MOSS-style near-dup candidate pairs from shared winnowing
+    fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 §4 — the
+    plagiarism-detection layout): docs sharing ≥ min_shared selected
+    fingerprints. The inverted-index join shape of dedup_ngram_jaccard
+    reused at the FINGERPRINT level — winnowing already compressed each
+    doc to ~n/(w) hashes, so the exploded index is a fraction of the
+    shingle stream's size; the document-frequency cap (df_cap, FROM THE
+    INDEX ONLY — the standard hot-key guard) bounds the per-key join
+    fan-out; one fp-key shuffle, one pair rollup, never a cartesian.
+    Output: (doc_a, doc_b, n_shared_fp)."""
+    from .operators.fingerprint import fingerprint_set_udf
+
+    docs = _docs(spark, sf_dir)
+    fps = tracked_cache(docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(fingerprint_set_udf(F.col("text"))).alias("f")))
+    cap = (fps.groupBy("f").agg(F.count("*").alias("df"))
+           .filter(F.col("df") <= df_cap).select("f"))
+    idx = fps.join(cap, "f")
+    a = idx.select(F.col("doc_id").alias("doc_a"), "f")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "f")
+    return (a.join(b, "f")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("long").alias("n_shared_fp"))
+            .filter(F.col("n_shared_fp") >= min_shared))

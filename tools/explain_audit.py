@@ -421,6 +421,12 @@ AUDITS = [
     # the single ArrowEvalPython is the extraction dispatch
     ("conversation_quality_trend", ["HashAggregate"],
      ["BatchEvalPython", "CartesianProduct", "Window", "Join"]),
+    # MOSS pairs: inverted-index equi-join over the winnowed stream —
+    # one Arrow UDF for the kernel, df-capped fan-out, never cartesian
+    ("dedup_fingerprint_pairs",
+     ["ArrowEvalPython", "HashAggregate",
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["CartesianProduct", "BatchEvalPython"]),
 ]
 
 
