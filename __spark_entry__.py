@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q.events_retention,
         "conversation_quality_trend": q.conversation_quality_trend,
         "dedup_fingerprint_pairs": q.dedup_fingerprint_pairs,
+        "doc_char_entropy": q.doc_char_entropy,
         # --- r3-judge-verified (check_queries re-run, VERDICT r3) but
         # never driver-certified; next in line for the budget ---
         "tpch_pricing_summary": q.tpch_pricing_summary,
@@ -2772,6 +2773,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN daily b ON b.user_id = a.user_id
                              AND b.d = a.d + 1
             GROUP BY a.d""",
+        "doc_char_entropy": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(text, '.') cs
+                       FROM documents),
+            e AS (SELECT doc_id, len(cs) n,
+                    list_sum(list_transform(list_distinct(cs),
+                      c -> cast(floor(1000000.0
+                             * len(list_filter(cs, x -> x = c))
+                             * ln(len(list_filter(cs, x -> x = c))))
+                           as bigint))) s
+                  FROM d WHERE len(cs) > 0)
+            SELECT cast(doc_id as bigint) doc_id,
+                   cast(n as bigint) n_chars,
+                   cast(s as bigint) sum_clogc_x1e6,
+                   cast(cast(floor(1000000.0 * ln(n)) as bigint) - s // n
+                        as bigint) entropy_x1e6
+            FROM e""",
         # (every queries() entry now has an oracle twin: chunks_modern
         # reads the pyref golden parquet; ann_lsh_topk restates the
         # deterministic hyperplane signature in SQL.)

@@ -3454,3 +3454,39 @@ def dedup_fingerprint_pairs(spark, sf_dir, df_cap: int = 50,
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").cast("long").alias("n_shared_fp"))
             .filter(F.col("n_shared_fp") >= min_shared))
+
+
+def doc_char_entropy(spark, sf_dir):
+    """Per-document character-entropy quality signal — the
+    compressibility proxy curation stacks use beside Gopher gates
+    (near-zero entropy = template/repeat junk, near-uniform = random
+    noise; both tails get cut). H = ln n − (Σ c·ln c)/n over the
+    per-doc char histogram, computed entirely in JVM HOFs (array of
+    chars → distinct → per-type count via filter — O(distinct·n) per
+    doc, bounded by charset size; map-only, zero shuffle, no Python).
+    Each c·ln c term floors on the 1e6 grid per TYPE (the proven
+    corpus_token_entropy convention) so the per-doc sum and the final
+    integer division are dialect-exact. '.' skips newlines in both
+    regex engines — n counts non-newline chars, same both sides.
+    Output: (doc_id, n_chars, sum_clogc_x1e6, entropy_x1e6)."""
+    cs = F.regexp_extract_all(F.col("text"), F.lit(r"."), 0)
+
+    def cnt(c):
+        return F.size(F.filter(cs, lambda x: x == c))
+
+    terms = F.transform(
+        F.array_distinct(cs),
+        lambda c: F.floor(F.lit(1000000.0) * cnt(c) * F.log(cnt(c)))
+        .cast("long"))
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.size(cs).cast("long").alias("n_chars"),
+                    F.aggregate(terms, F.lit(0).cast("long"),
+                                lambda a, x: a + x)
+                    .alias("sum_clogc_x1e6"))
+            .filter(F.col("n_chars") > 0))
+    return base.select(
+        "doc_id", "n_chars", "sum_clogc_x1e6",
+        (F.floor(F.lit(1000000.0) * F.log("n_chars")).cast("long")
+         - F.expr("sum_clogc_x1e6 div n_chars")).cast("long")
+        .alias("entropy_x1e6"))

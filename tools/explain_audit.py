@@ -427,6 +427,9 @@ AUDITS = [
      ["ArrowEvalPython", "HashAggregate",
       "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
      ["CartesianProduct", "BatchEvalPython"]),
+    # char entropy: pure JVM HOF chain, map-only, zero shuffle
+    ("doc_char_entropy", ["Project", "ReadSchema"],
+     ["Python", "Join", "Window", "hashpartitioning"]),
 ]
 
 
