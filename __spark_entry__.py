@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_quality_trend": q.conversation_quality_trend,
         "dedup_fingerprint_pairs": q.dedup_fingerprint_pairs,
         "doc_char_entropy": q.doc_char_entropy,
+        "events_trailing_value": q.events_trailing_value,
         # --- r3-judge-verified (check_queries re-run, VERDICT r3) but
         # never driver-certified; next in line for the budget ---
         "tpch_pricing_summary": q.tpch_pricing_summary,
@@ -2789,6 +2790,21 @@ def oracle_sql() -> dict[str, str]:
                    cast(cast(floor(1000000.0 * ln(n)) as bigint) - s // n
                         as bigint) entropy_x1e6
             FROM e""",
+        "events_trailing_value": r"""
+            WITH daily AS (
+              SELECT event_type,
+                     cast(epoch(cast(cast(ts as date) as timestamp))
+                          // 86400 as bigint) d,
+                     cast(sum(cast(floor(value * 100.0 + 0.5) as bigint))
+                          as bigint) day_value_c,
+                     cast(count(*) as bigint) n_events
+              FROM events GROUP BY event_type, d)
+            SELECT event_type, d, day_value_c,
+                   cast(sum(day_value_c) OVER w as bigint) t3_value_c,
+                   cast(sum(n_events) OVER w as bigint) t3_events
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)""",
         # (every queries() entry now has an oracle twin: chunks_modern
         # reads the pyref golden parquet; ann_lsh_topk restates the
         # deterministic hyperplane signature in SQL.)

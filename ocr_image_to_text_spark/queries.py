@@ -3490,3 +3490,29 @@ def doc_char_entropy(spark, sf_dir):
         (F.floor(F.lit(1000000.0) * F.log("n_chars")).cast("long")
          - F.expr("sum_clogc_x1e6 div n_chars")).cast("long")
         .alias("entropy_x1e6"))
+
+
+def events_trailing_value(spark, sf_dir):
+    """Trailing 3-day value/volume per event type — the RANGE-frame
+    window shape (frame bounded by the ORDER-BY VALUE, not row
+    position: days with no events leave genuine holes that a
+    rows-frame would silently bridge). The raw stream first compacts
+    to (type, day) — the window then runs over a frame that is tiny by
+    construction (types × days), so the sort behind it is never a
+    corpus sort; one shuffle total. Integer cents end to end. Output:
+    (event_type, d, day_value_c, t3_value_c, t3_events)."""
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select("event_type",
+                  F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                  .cast("long").alias("d"),
+                  F.floor(F.col("value") * 100.0 + F.lit(0.5))
+                  .cast("long").alias("vc")))
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum("vc").cast("long").alias("day_value_c"),
+        F.count("*").cast("long").alias("n_events"))
+    w = (Window.partitionBy("event_type").orderBy("d")
+         .rangeBetween(-2, 0))
+    return daily.select(
+        "event_type", "d", "day_value_c",
+        F.sum("day_value_c").over(w).cast("long").alias("t3_value_c"),
+        F.sum("n_events").over(w).cast("long").alias("t3_events"))

@@ -430,6 +430,10 @@ AUDITS = [
     # char entropy: pure JVM HOF chain, map-only, zero shuffle
     ("doc_char_entropy", ["Project", "ReadSchema"],
      ["Python", "Join", "Window", "hashpartitioning"]),
+    # trailing window: compact-to-daily agg BEFORE the RANGE-frame
+    # window, so the window sort is (types x days)-sized, never corpus
+    ("events_trailing_value", ["HashAggregate", "Window"],
+     ["Python", "Join", "CartesianProduct"]),
 ]
 
 
