@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint_pairs": q.dedup_fingerprint_pairs,
         "doc_char_entropy": q.doc_char_entropy,
         "events_trailing_value": q.events_trailing_value,
+        "events_funnel": q.events_funnel,
         # --- r3-judge-verified (check_queries re-run, VERDICT r3) but
         # never driver-certified; next in line for the budget ---
         "tpch_pricing_summary": q.tpch_pricing_summary,
@@ -2805,6 +2806,28 @@ def oracle_sql() -> dict[str, str]:
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY d
                          RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        "events_funnel": r"""
+            WITH ev AS (SELECT user_id, event_type, ts FROM events
+                        WHERE ts < timestamp '2024-01-02'),
+            u AS (SELECT user_id,
+                         min(CASE WHEN event_type = 'view' THEN ts END) v
+                  FROM ev GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) c
+                  FROM ev e JOIN u ON u.user_id = e.user_id
+                  WHERE e.event_type = 'click' AND u.v IS NOT NULL
+                    AND e.ts > u.v
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) p
+                  FROM ev e JOIN c ON c.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.c
+                  GROUP BY e.user_id)
+            SELECT cast(count(*) as bigint) n_users,
+                   cast(sum(CASE WHEN u.v IS NOT NULL THEN 1 ELSE 0 END)
+                        as bigint) n_view,
+                   cast(count(c.user_id) as bigint) n_view_click,
+                   cast(count(p.user_id) as bigint) n_full_funnel
+            FROM u LEFT JOIN c ON c.user_id = u.user_id
+                   LEFT JOIN p ON p.user_id = u.user_id""",
         # (every queries() entry now has an oracle twin: chunks_modern
         # reads the pyref golden parquet; ann_lsh_topk restates the
         # deterministic hyperplane signature in SQL.)

@@ -3516,3 +3516,42 @@ def events_trailing_value(spark, sf_dir):
         "event_type", "d", "day_value_c",
         F.sum("day_value_c").over(w).cast("long").alias("t3_value_c"),
         F.sum("n_events").over(w).cast("long").alias("t3_events"))
+
+
+def events_funnel(spark, sf_dir, cutoff: str = "2024-01-02"):
+    """Sequential conversion funnel view → click → purchase inside the
+    first-day window (the full table converts everyone — the window is
+    what makes ordering bite: 134/56/19/3 at sf0.01). Stage timestamps
+    chain by STRICT event-time order, not mere presence: each stage is
+    a user-key EQUI-join of the event stream with the previous stage's
+    per-user min timestamp, the ordering constraint applied as a
+    residual filter after the join — never an inequality-driven
+    nested-loop join. Per-user state is one timestamp per stage; three
+    user-key shuffles total, all over the already-filtered window.
+    Output: (n_users, n_view, n_view_click, n_full_funnel) — one row."""
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .filter(F.col("ts") < cutoff)
+          .select("user_id", "event_type", "ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("v"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(u.filter(F.col("v").isNotNull()), "user_id")
+         .filter(F.col("ts") > F.col("v"))
+         .groupBy("user_id").agg(F.min("ts").alias("c")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("c"))
+         .groupBy("user_id").agg(F.min("ts").alias("p")))
+    j = (u.join(c.select("user_id", F.lit(1).alias("has_c")),
+                "user_id", "left")
+         .join(p.select("user_id", F.lit(1).alias("has_p")),
+               "user_id", "left"))
+    return j.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("v").isNotNull().cast("long")).cast("long")
+        .alias("n_view"),
+        F.sum(F.coalesce(F.col("has_c"), F.lit(0))).cast("long")
+        .alias("n_view_click"),
+        F.sum(F.coalesce(F.col("has_p"), F.lit(0))).cast("long")
+        .alias("n_full_funnel"))

@@ -434,6 +434,11 @@ AUDITS = [
     # window, so the window sort is (types x days)-sized, never corpus
     ("events_trailing_value", ["HashAggregate", "Window"],
      ["Python", "Join", "CartesianProduct"]),
+    # funnel: user-key equi-joins with residual time filters — an
+    # inequality-driven BNLJ would betray a regression
+    ("events_funnel",
+     ["HashAggregate", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+     ["Python", "CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 
