@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_lloyd_topk": q.ann_ivf_lloyd_topk,
         "ann_ivf_recall": q.ann_ivf_recall,
         "extract_boxes_xycut": q.extract_boxes_xycut,
+        "extract_layout_analysis": q.extract_layout_analysis,
         "doc_lang_agreement": q.doc_lang_agreement,
         "corpus_decontaminate_anti": q.corpus_decontaminate_anti,
         "extract_box_overlaps": q.extract_box_overlaps,
@@ -906,6 +907,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_boxes_xycut": f"""
             SELECT conv_id, turn_idx, extracted_text
             FROM read_parquet('{_g("boxes_xycut")}')""",
+        "extract_layout_analysis": f"""
+            SELECT conv_id, turn_idx, total_elements, line_groups,
+                   n_columns, n_titles, n_bullets, n_numbered
+            FROM read_parquet('{_g("layout_analysis")}')""",
         "extract_box_overlaps": f"""
             SELECT conv_id, turn_idx, n_boxes, n_overlap_pairs,
                    max_iou_x1e6

@@ -58,6 +58,17 @@ OVERLAP_GOLD_SCHEMA = pa.schema([
     ("max_iou_x1e6", pa.int64()),
 ])
 
+LAYOUT_ANALYSIS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", _I32),
+    ("total_elements", _I32),
+    ("line_groups", _I32),
+    ("n_columns", _I32),
+    ("n_titles", _I32),
+    ("n_bullets", _I32),
+    ("n_numbered", _I32),
+])
+
 
 def golden_path(tier: str, name: str) -> str:
     return os.path.join(warehouse_dir(), "golden", f"{name}_{tier}.parquet")
@@ -82,6 +93,7 @@ def ensure_goldens(tier: str) -> dict[str, str]:
         "stitch": golden_path(tier, "stitch"),
         "stitch_v1": golden_path(tier, "stitch_v1"),
         "flat": golden_path(tier, "flat"),
+        "layout_analysis": golden_path(tier, "layout_analysis"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -93,6 +105,7 @@ def ensure_goldens(tier: str) -> dict[str, str]:
     convs: dict[str, list[tuple[int, str]]] = {}
     rollup_rows, span_rows, v1_rows, v3_rows, flat_rows = [], [], [], [], []
     xycut_rows: list[dict] = []
+    la_rows: list[dict] = []
     for conv_id, turn_idx, text, tool in zip(
         table.column("conv_id").to_pylist(),
         table.column("turn_idx").to_pylist(),
@@ -121,16 +134,21 @@ def ensure_goldens(tier: str) -> dict[str, str]:
             # A5 flat concat over conf-filtered detections
             import json as _json
 
-            boxes = _json.loads(tool).get("boxes") or []
+            payload = _json.loads(tool)
+            boxes = payload.get("boxes") or []
             flat_rows.append({
                 "conv_id": conv_id, "turn_idx": turn_idx,
                 "flat_text": pyref.flat_concat(pyref.conf_filter(boxes))})
+            # precision-layout structure summary (naive twin)
+            la = pyref.layout_analysis(boxes, payload.get("h", 0))
+            la_rows.append({"conv_id": conv_id, "turn_idx": turn_idx, **la})
 
     _write(paths["extract"], rollup_rows, ROLLUP_SCHEMA)
     _write(paths["spans"], span_rows, SPANS_SCHEMA)
     _write(paths["boxes_v1"], v1_rows, BOXES_VARIANT_SCHEMA)
     _write(paths["boxes_v3"], v3_rows, BOXES_VARIANT_SCHEMA)
     _write(paths["boxes_xycut"], xycut_rows, BOXES_VARIANT_SCHEMA)
+    _write(paths["layout_analysis"], la_rows, LAYOUT_ANALYSIS_SCHEMA)
 
     _write(paths["flat"], flat_rows, pa.schema([
         ("conv_id", pa.string()), ("turn_idx", _I32), ("flat_text", pa.string())]))

@@ -37,7 +37,7 @@ from pyspark.sql.types import (
 )
 
 from .htmlx import clean_block, extract_html_one
-from .layout import extract_boxes_json
+from .layout import extract_boxes_json, layout_analysis_json
 
 # flat_text (A5) and avg_conf_x1e9 (A9) ride along from the same JSON parse
 # — one Arrow pass serves extract_rollup, extract_flat AND boxes_avg_conf
@@ -91,6 +91,33 @@ def make_dispatch_udf(variant: str = "v2", geometry: str = "easy",
             "flat_text", "avg_conf_x1e9"])
 
     return extract_dispatch_udf
+
+
+# Precision-layout structure summary (the layout_analysis shape
+# test_precision_layout.py:154-165 consumes) — its own Arrow pass over
+# boxes payloads only: the flagship dispatch UDF stays untouched (the
+# summary is not on the extraction hot path), and only six ints cross
+# the Arrow boundary back.
+LAYOUT_ANALYSIS_SCHEMA = StructType([
+    StructField("total_elements", IntegerType()),
+    StructField("line_groups", IntegerType()),
+    StructField("n_columns", IntegerType()),
+    StructField("n_titles", IntegerType()),
+    StructField("n_bullets", IntegerType()),
+    StructField("n_numbered", IntegerType()),
+])
+
+
+def make_layout_analysis_udf(conf_threshold: float = 0.3):
+    @pandas_udf(LAYOUT_ANALYSIS_SCHEMA)
+    def layout_analysis_udf(tool: pd.Series) -> pd.DataFrame:
+        rows = [layout_analysis_json(o, conf_threshold)
+                for o in tool.to_numpy()]
+        return pd.DataFrame(rows, columns=[
+            "total_elements", "line_groups", "n_columns",
+            "n_titles", "n_bullets", "n_numbered"])
+
+    return layout_analysis_udf
 
 
 def kind_col(text: Column = None, tool: Column = None) -> Column:

@@ -241,6 +241,82 @@ def table_flag_of(all_polys) -> bool:
     return bool(std < mean * 0.5 and std > 0)
 
 
+# Precision-layout structure analysis (engine restatement; naive twin =
+# pyref.layout_analysis, semantics documented there — the shape the
+# reference's test_precision_layout.py:154-165 consumes). The column
+# count is ONE top-level vertical projection cut (the XY-cut x-axis
+# rule): boxes sorted by low-x, a running max high-x, a new column when
+# the next low edge clears it by more than XY_GAP_X.
+_TITLE_MIN, _TITLE_MAX = 3, 50
+
+
+def _column_count(polys) -> int:
+    n = len(polys)
+    if n == 0:
+        return 0
+    if n < SMALL_N:
+        spans = sorted((min(pt[0] for pt in p), max(pt[0] for pt in p))
+                       for p in polys)
+        cols = 1
+        run_hi = spans[0][1]
+        for lo, hi in spans[1:]:
+            if lo - run_hi > XY_GAP_X:
+                cols += 1
+            run_hi = max(run_hi, hi)
+        return cols
+    P = np.asarray(polys, dtype=np.float64)
+    lo = P[:, :, 0].min(axis=1)
+    hi = P[:, :, 0].max(axis=1)
+    order = np.argsort(lo, kind="stable")
+    lo_s, hi_s = lo[order], hi[order]
+    # running max of high edges up to (excluding) each box
+    run_hi = np.maximum.accumulate(hi_s)[:-1]
+    return 1 + int(np.count_nonzero(lo_s[1:] - run_hi > XY_GAP_X))
+
+
+def _line_structure_counts(lines: list[str]) -> tuple[int, int, int]:
+    """(titles, bullets, numbered) over stripped v2 lines. Title = the X9
+    header rule (uppercase, has a letter, 3 < len < 50); bullet/numbered
+    = leading marker + whitespace."""
+    titles = bullets = numbered = 0
+    for line in lines:
+        s = line.strip()
+        if s == s.upper() and s != s.lower() and _TITLE_MIN < len(s) < _TITLE_MAX:
+            titles += 1
+        if len(s) >= 2 and s[0] in "-•*" and s[1].isspace():
+            bullets += 1
+        else:
+            i = 0
+            while i < len(s) and s[i].isdigit():
+                i += 1
+            if (0 < i < len(s) - 1 and s[i] in ".)"
+                    and s[i + 1].isspace()):
+                numbered += 1
+    return titles, bullets, numbered
+
+
+def layout_analysis_json(payload: str, conf_threshold: float = 0.3
+                         ) -> tuple[int, int, int, int, int, int]:
+    """Parse a boxes payload and produce the layout_analysis summary:
+    (total_elements, line_groups, n_columns, n_titles, n_bullets,
+    n_numbered)."""
+    try:
+        payload_obj = json.loads(payload)
+    except (ValueError, TypeError):
+        return 0, 0, 0, 0, 0, 0
+    boxes = payload_obj.get("boxes") or []
+    kept = [b for b in boxes if b[2] > conf_threshold]
+    if not kept:
+        return 0, 0, 0, 0, 0, 0
+    polys = [b[0] for b in kept]
+    text = layout_v2(polys, [b[1] for b in kept],
+                     float(payload_obj.get("h", 0)))
+    lines = text.split("\n") if text else []
+    titles, bullets, numbered = _line_structure_counts(lines)
+    return (len(kept), len(lines), _column_count(polys),
+            titles, bullets, numbered)
+
+
 def extract_boxes_json(payload: str, variant: str = "v2", geometry: str = "easy",
                        conf_threshold: float = 0.3) -> tuple[str, int, int, bool, str, int]:
     """Parse a boxes payload ONCE and derive every per-turn box product:

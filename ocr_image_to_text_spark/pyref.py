@@ -244,6 +244,52 @@ def format_with_layout(boxes: list, img_height: float, variant: str = "v2",
     return format_with_layout_v2(boxes, img_height, geometry)
 
 
+# Precision-layout structure analysis — the per-page summary the reference
+# test suite CONSUMES (test_precision_layout.py:154-165 reads
+# layout_analysis.{total_elements, line_groups, columns.count,
+# structure.{titles, bullet_points, numbered_lists}}); the producing
+# module (precision_layout_ocr.py) is absent from the snapshot, so the
+# semantics are engine-defined from the repo's own committed rules:
+#   total_elements — kept detections after the F1 conf>0.3 filter;
+#   line_groups    — line count of the canonical v2 clustering;
+#   columns.count  — groups from ONE vertical projection cut over the
+#                    kept boxes (the XY-cut x-axis rule, gap 56px);
+#   titles         — v2 lines passing the X9 header rule
+#                    (ocr_app/utils/text_utils.py:249-261: stripped line
+#                    is uppercase, has a letter, 3 < len < 50);
+#   bullet_points  — stripped lines matching ^[-•*]\s (the bullet shapes
+#                    test_precision_layout.py:67-73 draws);
+#   numbered_lists — stripped lines matching ^\d+[.)]\s (ibid. :84-90).
+_BULLET_RE = re.compile(r"^[-•*]\s")
+_NUMBERED_RE = re.compile(r"^\d+[.)]\s")
+
+
+def _is_title_line(line: str) -> bool:
+    s = line.strip()
+    return s == s.upper() and s != s.lower() and 3 < len(s) < 50
+
+
+def layout_analysis(boxes: list, img_height: float,
+                    conf_threshold: float = 0.3) -> dict:
+    """Naive pure-Python twin (golden side) of
+    operators/layout.layout_analysis_json."""
+    kept = conf_filter(boxes, conf_threshold)
+    if not kept:
+        return {"total_elements": 0, "line_groups": 0, "n_columns": 0,
+                "n_titles": 0, "n_bullets": 0, "n_numbered": 0}
+    text = format_with_layout_v2(kept, img_height)
+    lines = text.split("\n") if text else []
+    cols = _xy_split(kept, 0, XY_GAP_X)
+    return {
+        "total_elements": len(kept),
+        "line_groups": len(lines),
+        "n_columns": len(cols) if cols else 1,
+        "n_titles": sum(1 for l in lines if _is_title_line(l)),
+        "n_bullets": sum(1 for l in lines if _BULLET_RE.match(l.strip())),
+        "n_numbered": sum(1 for l in lines if _NUMBERED_RE.match(l.strip())),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Result scoring / selection (A6..A8)
 # ---------------------------------------------------------------------------

@@ -3025,6 +3025,38 @@ def extract_boxes_xycut(spark, sf_dir):
             .select("conv_id", "turn_idx", "extracted_text"))
 
 
+def extract_layout_analysis(spark, sf_dir):
+    """Precision-layout structure summary — the per-page layout_analysis
+    shape the reference test suite consumes
+    (test_precision_layout.py:154-165: total_elements, line_groups,
+    columns.count, structure.{titles, bullet_points, numbered_lists});
+    the producing module is absent from the snapshot, so the semantics
+    are engine-defined from committed rules (spec in
+    pyref.layout_analysis — kept-token count, v2 line-group count, one
+    XY-cut x-projection for columns, X9 header rule for titles,
+    ^[-•*]\\s bullets, ^\\d+[.)]\\s numbered). Plan: 3-column pruned
+    scan (+text for the kind sniffer) → JVM kind filter → ONE
+    Arrow-batched UDF over boxes turns only (six ints back across the
+    boundary, the flagship dispatch UDF untouched) → projection; no
+    shuffle, per-turn bounded. Oracle: pyref golden parquet. Output:
+    (conv_id, turn_idx, total_elements, line_groups, n_columns,
+    n_titles, n_bullets, n_numbered)."""
+    from .operators.extract import kind_col, make_layout_analysis_udf
+
+    t = _transcripts(spark, sf_dir)
+    boxes = (t.select("conv_id", "turn_idx", "text", "tool")
+             .filter(kind_col() == "boxes"))
+    r = make_layout_analysis_udf()(F.col("tool"))
+    return (boxes.select("conv_id", "turn_idx", r.alias("r"))
+            .select("conv_id", "turn_idx",
+                    F.col("r.total_elements").alias("total_elements"),
+                    F.col("r.line_groups").alias("line_groups"),
+                    F.col("r.n_columns").alias("n_columns"),
+                    F.col("r.n_titles").alias("n_titles"),
+                    F.col("r.n_bullets").alias("n_bullets"),
+                    F.col("r.n_numbered").alias("n_numbered")))
+
+
 def dedup_cdc_chunks(spark, sf_dir):
     """Content-defined chunking duplication signal — see
     dedup.cdc_chunk_stats (LBFS rolling boundaries, SOSP'01)."""

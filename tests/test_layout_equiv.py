@@ -131,6 +131,83 @@ def test_xycut_reads_two_column_column_major():
     assert feat and cap and max(feat) < min(cap)
 
 
+def _la_tuple(d: dict) -> tuple:
+    return (d["total_elements"], d["line_groups"], d["n_columns"],
+            d["n_titles"], d["n_bullets"], d["n_numbered"])
+
+
+def test_layout_analysis_random_matches_twin():
+    """Engine layout_analysis_json == naive pyref twin on random payloads
+    (covers empty-kept turns, single-token turns, arbitrary geometry)."""
+    from ocr_image_to_text_spark.operators.layout import layout_analysis_json
+
+    rng = random.Random(424)
+    for _ in range(300):
+        payload = _boxes_payload(rng)
+        obj = json.loads(payload)
+        want = _la_tuple(pyref.layout_analysis(obj["boxes"], obj["h"]))
+        assert layout_analysis_json(payload) == want
+
+
+@pytest.mark.parametrize("n", [63, 64, 65, 300])
+def test_layout_analysis_small_and_large_paths_agree(n):
+    """The listwise and vectorized _column_count paths (SMALL_N seam)
+    both equal the naive twin."""
+    from ocr_image_to_text_spark.operators.layout import layout_analysis_json
+
+    rng = random.Random(4240 + n)
+    boxes = []
+    for i in range(n):
+        x = rng.uniform(0, 800)
+        y = rng.uniform(0, 600)
+        boxes.append([[[x, y], [x + 30, y], [x + 30, y + 12], [x, y + 12]],
+                      f"w{i}", rng.uniform(0.0, 1.0)])
+    payload = json.dumps({"h": 600, "w": 800, "boxes": boxes})
+    want = _la_tuple(pyref.layout_analysis(boxes, 600))
+    assert layout_analysis_json(payload) == want
+
+
+def test_layout_analysis_structured_document_counts():
+    """Positive pinning of every structure rule on a document shaped like
+    the reference's test_precision_layout.py fixture (title + bulleted
+    column + numbered column): the corpus exercises columns heavily but
+    titles/bullets/numbered only rarely, so this fixture is the
+    non-vacuity proof for those counters."""
+    from ocr_image_to_text_spark.operators.layout import layout_analysis_json
+
+    boxes = []
+
+    def add(x, y, w, text):
+        boxes.append([[[x, y], [x + w, y], [x + w, y + 14], [x, y + 14]],
+                      text, 0.9])
+
+    add(50, 30, 300, "PRECISION LAYOUT TEST DOCUMENT")
+    add(50, 80, 80, "Features:")
+    add(420, 80, 100, "Capabilities:")
+    feats = ["• Multi-engine OCR integration",
+             "• Precision layout preservation", "• Column detection",
+             "• Text structure analysis", "• Format conversion"]
+    caps = ["1. EasyOCR engine", "2. PaddleOCR engine",
+            "3. Tesseract fallback", "4. HTML output",
+            "5. Markdown conversion"]
+    # column rows offset by 13px so v2 (tol 10 at h=600) keeps each row
+    # its own line group instead of interleaving col1+col2 tokens
+    for i, t in enumerate(feats):
+        add(50, 110 + 25 * i, 200, t)
+    for i, t in enumerate(caps):
+        add(420, 123 + 25 * i, 140, t)
+    payload = json.dumps({"h": 600, "w": 800, "boxes": boxes})
+    got = layout_analysis_json(payload)
+    # 13 kept tokens; lines: [title], [Features: Capabilities:], 10 rows;
+    # x-projection: col1 spans [50,350], col2 [420,560] → gap 70 > 56
+    assert got == (13, 12, 2, 1, 5, 5)
+    assert got == _la_tuple(pyref.layout_analysis(boxes, 600))
+    # and the conf filter feeds the analysis: drop-everything payload
+    low = json.dumps({"h": 600, "w": 800, "boxes": [
+        [[[0, 0], [10, 0], [10, 10], [0, 10]], "XYZ", 0.1]]})
+    assert layout_analysis_json(low) == (0, 0, 0, 0, 0, 0)
+
+
 def test_xycut_random_scatter_matches_twin():
     """Scattered boxes produce arbitrary gap structure — deep recursion
     through alternating y/x cuts must stay byte-equal to the naive twin."""
