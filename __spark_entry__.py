@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": q.ann_ivf_recall,
         "extract_boxes_xycut": q.extract_boxes_xycut,
         "extract_layout_analysis": q.extract_layout_analysis,
+        "conversation_salted_join": q.conversation_salted_join,
         "doc_lang_agreement": q.doc_lang_agreement,
         "corpus_decontaminate_anti": q.corpus_decontaminate_anti,
         "extract_box_overlaps": q.extract_box_overlaps,
@@ -911,6 +912,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, total_elements, line_groups,
                    n_columns, n_titles, n_bullets, n_numbered
             FROM read_parquet('{_g("layout_analysis")}')""",
+        "conversation_salted_join": f"""
+            WITH d AS (SELECT conv_id, count(*) n,
+                              sum(CASE WHEN role = 'user' THEN 1 ELSE 0
+                                  END) nu
+                       FROM read_parquet('{_tp}') GROUP BY conv_id)
+            SELECT t.conv_id, t.turn_idx, t.role,
+                   cast(d.n as bigint) conv_n_turns,
+                   cast(d.nu as bigint) conv_n_user
+            FROM read_parquet('{_tp}') t JOIN d USING (conv_id)""",
         "extract_box_overlaps": f"""
             SELECT conv_id, turn_idx, n_boxes, n_overlap_pairs,
                    max_iou_x1e6

@@ -3025,6 +3025,32 @@ def extract_boxes_xycut(spark, sf_dir):
             .select("conv_id", "turn_idx", "extracted_text"))
 
 
+def conversation_salted_join(spark, sf_dir):
+    """Per-turn join to a per-conversation dimension THROUGH THE EXPLICIT
+    SALTING SEAM (operators/skew.salted_join — the north_rule's "skew
+    handled explicitly" requirement, previously tested but unused by any
+    registry query, VERDICT r4 #6). Fact = the turns table, whose
+    conv_id key is exactly the skewed key the north_star names
+    (10^6-turn conversations); dim = the per-conversation rollup
+    (n_turns, n_user — map-side partial agg absorbs the hot key on the
+    build side). A window over conv_id would serialize a hot
+    conversation into ONE task; the salted join spreads its fact rows
+    across n_salts reducers while replicating only the tiny dim row ×8.
+    Values are identical to the plain join (pinned here by the oracle
+    and generally by tests/test_salted_join.py); the salt explode is
+    pinned in PLANS.md. Output: (conv_id, turn_idx, role, conv_n_turns,
+    conv_n_user)."""
+    from .operators.skew import salted_join
+
+    t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "role")
+    dim = t.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("conv_n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).cast("long")
+        .alias("conv_n_user"))
+    return salted_join(t, dim, "conv_id", n_salts=8).select(
+        "conv_id", "turn_idx", "role", "conv_n_turns", "conv_n_user")
+
+
 def extract_layout_analysis(spark, sf_dir):
     """Precision-layout structure summary — the per-page layout_analysis
     shape the reference test suite consumes

@@ -81,6 +81,12 @@ AUDITS = [
     ("ann_ivf_recall",
      ["BroadcastExchange", "HashAggregate|SortAggregate"],
      ["Python", "CartesianProduct"]),
+    # r5: the explicit-salting seam in a registry query — the Generate
+    # node is the dim-side salt explode; the join clusters on
+    # (conv_id, _salt); never a cartesian, never Python
+    ("conversation_salted_join",
+     ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "Generate"],
+     ["CartesianProduct", "Python"]),
     # r5: narrow 32-bit/8-bit-band variant (primary name is the 64-bit
     # wide config now) — same banded equi-join shape at both widths
     ("dedup_simhash_pairs_narrow",
