@@ -48,17 +48,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_image_to_text_spark import queries as q
 
     # Dict order matters: the driver certifies a budget-limited PREFIX of
-    # this registry (r1: 40, r2: 46, r3: 50 of 88). Priority for the r4
-    # budget, blocks in order: (1) the 35 r4-NEW queries — never in any
-    # artifact, cheapest-first; (2) the r3 block that was judge-verified
-    # (VERDICT r3, tools/check_queries.py) but never driver-certified;
-    # (3) the extraction/doc/dedup blocks, driver-green in r1-r3. Every
-    # entry regardless of position passed this session's full
-    # check_queries sweep at sf0.01 (123/123, zero failures).
+    # this registry (r1: 40, r2: 46, r3/r4: 50). r5 front block
+    # (tools/cert_ledger.py BUDGET=50), in order: (A) the 5 queries added
+    # or code-changed this round; (B) the 31 queries VERDICT r4 lists as
+    # judge-verified but never driver-certified (cheapest-first); (C) 14
+    # flagship re-certs whose driver certificates date from r1-r3 (the
+    # bench suite + oldest-cert docs queries). tests/test_cert_ledger.py
+    # enforces that drifted/uncertified queries sit inside this prefix.
     return {
-        # --- r4-NEW queries (never in any CORRECTNESS_r*.json; every
-        # prior artifact was a dict-order prefix, so these go FIRST,
-        # cheapest-first, to maximize what the r4 budget certifies) ---
+        # --- (A) r5 new / code-changed ---
+        "conversation_salted_join": q.conversation_salted_join,
+        "extract_layout_analysis": q.extract_layout_analysis,
+        "dedup_simhash_pairs": q.dedup_simhash_pairs,
+        "dedup_simhash_pairs_narrow": q.dedup_simhash_pairs_narrow,
+        "dedup_clusters_star": q.dedup_clusters_star,
+        # --- (B) never in any CORRECTNESS_r*.json (VERDICT r4 list) ---
+        "doc_length_histogram": q.doc_length_histogram,
+        "corpus_length_quantiles": q.corpus_length_quantiles,
+        "corpus_sample_stratified": q.corpus_sample_stratified,
+        "corpus_dsir_weights": q.corpus_dsir_weights,
+        "corpus_mix_budget": q.corpus_mix_budget,
+        "corpus_top_tokens": q.corpus_top_tokens,
+        "corpus_top_tokens_cms": q.corpus_top_tokens_cms,
+        "corpus_vocab_hll": q.corpus_vocab_hll,
+        "doc_tfidf_topk": q.doc_tfidf_topk,
+        "doc_unigram_logprob": q.doc_unigram_logprob,
+        "doc_bigram_logprob": q.doc_bigram_logprob,
+        "doc_bm25_topk": q.doc_bm25_topk,
+        "doc_quality_gopher": q.doc_quality_gopher,
+        "doc_repetition_signals": q.doc_repetition_signals,
+        "doc_c4_page_filter": q.doc_c4_page_filter,
+        "doc_c4_page_filter_seeded": q.doc_c4_page_filter_seeded,
+        "corpus_decontaminate": q.corpus_decontaminate,
+        "corpus_decontaminate_bloom": q.corpus_decontaminate_bloom,
+        "corpus_pack_sequences": q.corpus_pack_sequences,
+        "corpus_curation_pipeline": q.corpus_curation_pipeline,
+        "corpus_pipeline_v2": q.corpus_pipeline_v2,
+        "corpus_pipeline_v3": q.corpus_pipeline_v3,
+        "tpch_local_supplier_revenue": q.tpch_local_supplier_revenue,
+        "tpch_promo_revenue": q.tpch_promo_revenue,
+        "events_asof_join": q.events_asof_join,
+        "media_video_frames": q.media_video_frames,
+        "dedup_clusters": q.dedup_clusters,
+        "semdedup_prune": q.semdedup_prune,
+        "dedup_dup_spans": q.dedup_dup_spans,
+        "dedup_c4_spans": q.dedup_c4_spans,
+        "chunk_cosine_topk": q.chunk_cosine_topk,
+        # --- (C) flagship re-certs (driver certificates from r1-r3) ---
+        "extract_rollup": q.extract_rollup,
+        "extract_spans": q.extract_spans,
+        "conversation_stitch": q.conversation_stitch,
+        "chunks_modern": q.chunks_modern,
+        "dedup_exact": q.dedup_exact,
+        "dedup_minhash_lsh": q.dedup_minhash_lsh,
+        "doc_simhash": q.doc_simhash,
+        "doc_token_counts": q.doc_token_counts,
+        "doc_fingerprints": q.doc_fingerprints,
+        "doc_entities": q.doc_entities,
+        "doc_quality_v2": q.doc_quality_v2,
+        "ann_cosine_topk": q.ann_cosine_topk,
+        "events_hourly": q.events_hourly,
+        "events_sessions": q.events_sessions,
+        # ---- end of the 50-entry certified prefix ----
+        # --- r4-certified block (CORRECTNESS_r04, green) ---
         "tpch_top_supplier": q.tpch_top_supplier,
         "tpch_priority_returns": q.tpch_priority_returns,
         "tpch_quiet_big_accounts": q.tpch_quiet_big_accounts,
@@ -85,18 +137,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_chunks": q.dedup_cdc_chunks,
         "corpus_pipeline_v4": q.corpus_pipeline_v4,
         "doc_simhash64": q.doc_simhash64,
-        "dedup_simhash_pairs": q.dedup_simhash_pairs,
-        "dedup_simhash_pairs_narrow": q.dedup_simhash_pairs_narrow,
         "dedup_minhash_recall": q.dedup_minhash_recall,
-        "dedup_clusters_star": q.dedup_clusters_star,
         "emb_pq_encode": q.emb_pq_encode,
         "ann_pq_adc_topk": q.ann_pq_adc_topk,
         "ann_ivfpq_adc_topk": q.ann_ivfpq_adc_topk,
         "ann_ivf_lloyd_topk": q.ann_ivf_lloyd_topk,
         "ann_ivf_recall": q.ann_ivf_recall,
         "extract_boxes_xycut": q.extract_boxes_xycut,
-        "extract_layout_analysis": q.extract_layout_analysis,
-        "conversation_salted_join": q.conversation_salted_join,
         "doc_lang_agreement": q.doc_lang_agreement,
         "corpus_decontaminate_anti": q.corpus_decontaminate_anti,
         "extract_box_overlaps": q.extract_box_overlaps,
@@ -110,69 +157,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_char_entropy": q.doc_char_entropy,
         "events_trailing_value": q.events_trailing_value,
         "events_funnel": q.events_funnel,
-        # --- r3-judge-verified (check_queries re-run, VERDICT r3) but
-        # never driver-certified; next in line for the budget ---
         "tpch_pricing_summary": q.tpch_pricing_summary,
         "tpch_top_revenue": q.tpch_top_revenue,
-        "tpch_local_supplier_revenue": q.tpch_local_supplier_revenue,
-        "tpch_promo_revenue": q.tpch_promo_revenue,
+        # --- r3-certified remainder ---
         "media_image_features": q.media_image_features,
         "media_audio_features": q.media_audio_features,
-        "media_video_frames": q.media_video_frames,
-        "events_hourly": q.events_hourly,
-        "events_sessions": q.events_sessions,
-        "events_asof_join": q.events_asof_join,
-        "dedup_clusters": q.dedup_clusters,
-        "semdedup_prune": q.semdedup_prune,
-        "dedup_dup_spans": q.dedup_dup_spans,
-        "dedup_c4_spans": q.dedup_c4_spans,
-        "doc_length_histogram": q.doc_length_histogram,
-        "corpus_length_quantiles": q.corpus_length_quantiles,
-        "corpus_sample_stratified": q.corpus_sample_stratified,
-        "corpus_dsir_weights": q.corpus_dsir_weights,
-        "corpus_mix_budget": q.corpus_mix_budget,
-        "corpus_curation_pipeline": q.corpus_curation_pipeline,
-        "corpus_decontaminate": q.corpus_decontaminate,
-        "corpus_decontaminate_bloom": q.corpus_decontaminate_bloom,
-        "corpus_pack_sequences": q.corpus_pack_sequences,
-        "corpus_pipeline_v2": q.corpus_pipeline_v2,
-        "corpus_pipeline_v3": q.corpus_pipeline_v3,
-        "doc_quality_gopher": q.doc_quality_gopher,
-        "doc_repetition_signals": q.doc_repetition_signals,
-        "doc_c4_page_filter": q.doc_c4_page_filter,
-        "doc_c4_page_filter_seeded": q.doc_c4_page_filter_seeded,
-        "corpus_top_tokens": q.corpus_top_tokens,
-        "corpus_vocab_hll": q.corpus_vocab_hll,
-        "corpus_top_tokens_cms": q.corpus_top_tokens_cms,
-        "doc_tfidf_topk": q.doc_tfidf_topk,
-        "doc_unigram_logprob": q.doc_unigram_logprob,
-        "doc_bigram_logprob": q.doc_bigram_logprob,
-        "doc_bm25_topk": q.doc_bm25_topk,
         "chunk_l2_topk": q.chunk_l2_topk,
-        "chunk_cosine_topk": q.chunk_cosine_topk,
-        # --- extraction pipeline (SURVEY §2.2/2.4/2.5/2.6, north_star;
-        #     driver-green in CORRECTNESS_r01-r03) ---
-        "extract_rollup": q.extract_rollup,
-        "extract_spans": q.extract_spans,
+        # --- extraction pipeline (driver-green r01-r03) ---
         "extract_boxes_v1": q.extract_boxes_v1,
         "extract_boxes_v3": q.extract_boxes_v3,
         "extract_kind_metrics": q.extract_kind_metrics,
-        "conversation_stitch": q.conversation_stitch,
         "conversation_stitch_v1": q.conversation_stitch_v1,
         "conversation_dedup_seeded": q.conversation_dedup_seeded,
         "extract_flat": q.extract_flat,
         "boxes_table_flags": q.boxes_table_flags,
         "extract_similarity_x16": q.extract_similarity_x16,
-        "chunks_modern": q.chunks_modern,
         # --- documents analytics (SURVEY §2.8) ---
-        "doc_entities": q.doc_entities,
         "doc_entities_seeded": q.doc_entities_seeded,
         "doc_redact": q.doc_redact,
         "doc_lang": q.doc_lang,
         "doc_lang_ngram": q.doc_lang_ngram,
         "doc_stats": q.doc_stats,
         "doc_quality_v1": q.doc_quality_v1,
-        "doc_quality_v2": q.doc_quality_v2,
         "doc_best_engine": q.doc_best_engine,
         "doc_engine_fallback": q.doc_engine_fallback,
         "doc_chunks_legacy": q.doc_chunks_legacy,
@@ -192,13 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keyword_topk_x5": q.doc_keyword_topk_x5,
         "doc_txt_envelope": q.doc_txt_envelope,
         # --- training-data pipeline ops ---
-        "doc_token_counts": q.doc_token_counts,
-        "doc_fingerprints": q.doc_fingerprints,
-        "dedup_exact": q.dedup_exact,
         "dedup_ngram_jaccard": q.dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q.dedup_minhash_lsh,
-        "doc_simhash": q.doc_simhash,
-        "ann_cosine_topk": q.ann_cosine_topk,
         "emb_dup_pairs": q.emb_dup_pairs,
         "ann_lsh_topk": q.ann_lsh_topk,
         "ann_ivf_topk": q.ann_ivf_topk,
