@@ -164,6 +164,31 @@ def minhash_signature_cols(num_hashes: int = 8):
     return build
 
 
+def minhash_band_rows(df: DataFrame, id_cols: tuple[str, ...] = ("doc_id",),
+                      num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """LSH band rows for arbitrary id columns: (*id_cols, band, band_key).
+
+    The stateless front half of MinHash LSH — shingle, k minhashes, ONE
+    explode over the band structs — shared by the streaming near-dup
+    candidate operator (streaming/pipeline.minhash_candidates_stream)
+    and its batch twin; minhash_lsh_pairs keeps its own fused cached
+    frame because it also needs the shingle sets for verification."""
+    r = num_hashes // bands
+    base = df.select(*id_cols, shingle_array().alias("shs"))
+    sig = base.select(*id_cols,
+                      *minhash_signature_cols(num_hashes)(F.col("shs")))
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
+            .alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    return (sig.select(*id_cols, F.explode(band_structs).alias("bk"))
+            .select(*id_cols, "bk.band", "bk.band_key"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
                       threshold_x1000: int = 100) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.

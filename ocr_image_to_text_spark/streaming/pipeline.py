@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -213,6 +214,116 @@ def conversation_progress_stream(spark: SparkSession, source_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .outputMode("update")
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate candidates: watermarked MinHash band buckets
+# ---------------------------------------------------------------------------
+
+MINHASH_PAIR_SCHEMA = StructType([
+    StructField("conv_a", StringType()),
+    StructField("turn_a", LongType()),
+    StructField("conv_b", StringType()),
+    StructField("turn_b", LongType()),
+])
+
+MINHASH_BUCKET_STATE_SCHEMA = StructType([
+    StructField("conv_ids", ArrayType(StringType())),
+    StructField("turn_idxs", ArrayType(LongType())),
+    StructField("max_ts_ms", LongType()),
+])
+
+
+def _make_band_bucket_fn(horizon_ms: int, bucket_cap: int | None):
+    def _band_bucket_fn(key, pdfs: Iterator[pd.DataFrame],
+                        state: GroupState):
+        """One MinHash band bucket: state = the turns whose band key
+        landed here within the watermark horizon; every new arrival
+        emits a candidate pair against each resident member. The
+        streaming analog of the batch band-bucket self-join
+        (dedup.minhash_lsh_pairs candidate stage)."""
+        if state.hasTimedOut:
+            state.remove()  # horizon passed: the bucket empties
+            yield pd.DataFrame(
+                {"conv_a": [], "turn_a": [], "conv_b": [], "turn_b": []})
+            return
+        convs, idxs, max_ts = (state.get if state.exists else ((), (), 0))
+        members = [(c, int(i)) for c, i in zip(convs, idxs)]
+        new_rows: list[tuple[str, int, int]] = []
+        for pdf in pdfs:
+            for conv, ti, ts in zip(pdf["conv_id"], pdf["turn_idx"],
+                                    pdf["ts"]):
+                new_rows.append((conv, int(ti), int(ts.value // 10**6)))
+        # deterministic processing order inside the micro-batch
+        new_rows.sort(key=lambda x: (x[0], x[1]))
+        out: list[tuple[str, int, str, int]] = []
+        for conv, ti, ts_ms in new_rows:
+            me = (conv, ti)
+            for other in members:
+                if other == me:
+                    continue
+                a, b = (other, me) if other < me else (me, other)
+                out.append((a[0], a[1], b[0], b[1]))
+            if bucket_cap is None or len(members) < bucket_cap:
+                members.append(me)
+            max_ts = max(max_ts, ts_ms)
+        state.update(([m[0] for m in members], [m[1] for m in members],
+                      max_ts))
+        # bucket residency = the late-data horizon past the newest member
+        state.setTimeoutTimestamp(max_ts + horizon_ms)
+        yield pd.DataFrame(out, columns=["conv_a", "turn_a",
+                                         "conv_b", "turn_b"])
+
+    return _band_bucket_fn
+
+
+def minhash_candidates_stream(spark: SparkSession, source_dir: str,
+                              out_dir: str, checkpoint_dir: str,
+                              watermark: str = "10 minutes",
+                              horizon_ms: int = 10 * 60 * 1000,
+                              bucket_cap: int | None = None,
+                              await_termination: bool = True):
+    """Streaming MinHash-LSH near-dup CANDIDATE pairs — the incremental
+    twin of the batch dedup.minhash_lsh_pairs candidate stage, completing
+    the streaming dedup family next to dedup_stream's exact dedup.
+
+    Shape: the stateless front half (shingle → k minhashes → band-struct
+    explode, dedup.minhash_band_rows — pure JVM expressions) runs
+    map-side; state lives per (band, band_key) BUCKET and holds only the
+    member turns whose band key landed there within the watermark
+    horizon (GroupStateTimeout.EventTimeTimeout clears expired buckets),
+    so state size tracks the late-data horizon × bucket occupancy, never
+    corpus history — the property that keeps a 10^12-turn ingest
+    running forever. A pair sharing several bands is emitted once per
+    band (downstream consumers dedup, exactly like the batch candidate
+    stage pre-`distinct`); `bucket_cap` is the df_cap analog for
+    hot-band buckets (None = exact, the library default). Verification
+    (exact Jaccard) stays a batch join over the emitted candidates —
+    candidates are tiny next to the corpus.
+
+    Output: (conv_a, turn_a, conv_b, turn_b) with (conv_a, turn_a) <
+    (conv_b, turn_b). Exactly-once across restarts via the checkpoint
+    (file-source log + state store).
+    """
+    from ..dedup import minhash_band_rows
+
+    stream = read_transcript_stream(spark, source_dir)
+    bands = minhash_band_rows(
+        stream.withWatermark("ts", watermark),
+        id_cols=("conv_id", "turn_idx", "ts"))
+    pairs = bands.groupBy("band", "band_key").applyInPandasWithState(
+        _make_band_bucket_fn(horizon_ms, bucket_cap),
+        MINHASH_PAIR_SCHEMA, MINHASH_BUCKET_STATE_SCHEMA,
+        "append", GroupStateTimeout.EventTimeTimeout)
+    q = (pairs.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .outputMode("append")
          .start())
     if await_termination:
         q.awaitTermination()

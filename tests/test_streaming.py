@@ -172,6 +172,55 @@ def test_decontaminate_stream_equals_batch_filter(spark, tmp_path, split_source)
     assert len(want) < batch.count()  # the filter actually dropped turns
 
 
+def test_minhash_candidates_stream_equals_batch(spark, tmp_path, split_source):
+    """Streaming MinHash-band near-dup candidates: the distinct pair set
+    emitted across an initial run plus a late-arrival availableNow run
+    must equal the batch band-bucket self-join over ALL turns — state
+    (band buckets) carries wave-1 members so wave-2 arrivals pair with
+    them across runs. The horizon is kept wider than the fixture's time
+    span so no bucket expires mid-test (expiry semantics are the
+    documented lossy part, like every watermark)."""
+    from pyspark.sql import functions as F
+
+    from ocr_image_to_text_spark.dedup import minhash_band_rows
+    from ocr_image_to_text_spark.streaming.pipeline import (
+        minhash_candidates_stream)
+
+    d, t, half = split_source
+    out, ckpt = str(tmp_path / "mhout"), str(tmp_path / "mhckpt")
+    year_ms = 365 * 24 * 3600 * 1000
+    minhash_candidates_stream(spark, str(d), out, ckpt,
+                              watermark="365 days", horizon_ms=year_ms)
+    n_first = spark.read.parquet(out).distinct().count()
+
+    # late wave lands; second availableNow run pairs it against the
+    # band-bucket members the checkpointed state kept from wave 1
+    pq.write_table(t.slice(half), str(d / "part-1.parquet"))
+    minhash_candidates_stream(spark, str(d), out, ckpt,
+                              watermark="365 days", horizon_ms=year_ms)
+
+    got = {(r.conv_a, r.turn_a, r.conv_b, r.turn_b)
+           for r in spark.read.parquet(out).collect()}
+
+    rows = minhash_band_rows(spark.read.parquet(str(d)),
+                             id_cols=("conv_id", "turn_idx"))
+    a, b = rows.alias("a"), rows.alias("b")
+    batch = (a.join(b, ["band", "band_key"])
+             .filter((F.col("a.conv_id") < F.col("b.conv_id"))
+                     | ((F.col("a.conv_id") == F.col("b.conv_id"))
+                        & (F.col("a.turn_idx") < F.col("b.turn_idx"))))
+             .select(F.col("a.conv_id").alias("conv_a"),
+                     F.col("a.turn_idx").cast("long").alias("turn_a"),
+                     F.col("b.conv_id").alias("conv_b"),
+                     F.col("b.turn_idx").cast("long").alias("turn_b"))
+             .distinct())
+    want = {(r.conv_a, r.turn_a, r.conv_b, r.turn_b)
+            for r in batch.collect()}
+    assert got == want
+    assert want, "fixture must produce near-dup candidates"
+    assert 0 < n_first < len(got), "wave 2 added cross-wave candidate pairs"
+
+
 def test_quality_gate_stream_equals_batch(spark, tmp_path, split_source):
     """Streaming Gopher-gate + redaction must equal the batch filter +
     redaction over the same turns, including across a late-arrival
