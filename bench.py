@@ -36,22 +36,10 @@ def _bench_query(spark, fn, sf_dir: str) -> float:
     return elapsed
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-
+def headline_queries() -> list:
     from ocr_image_to_text_spark import queries as q
-    from ocr_image_to_text_spark.session import get_spark
-    from ocr_image_to_text_spark.transcripts import ensure_transcripts_for_sf_dir
 
-    # Synthetic transcripts are generated (cached) outside the timed region.
-    tpath = ensure_transcripts_for_sf_dir(sf_dir)
-
-    spark = get_spark("bench", master=f"local[{cpus}]")
-    n_turns = spark.read.parquet(tpath).count()
-
-    headline = [
+    return [
         # extraction pipeline (the north_star job)
         ("extract_rollup", q.extract_rollup),
         ("extract_spans", q.extract_spans),
@@ -73,17 +61,23 @@ def main() -> None:
         ("events_sessions", q.events_sessions),
     ]
 
-    # Position-bias hardening (VERDICT r3 next-#7): the host is
-    # credit-throttled, so a query's measured time drifts with its
-    # POSITION in the run (doc_quality_v2 measured 0.8-13.2 s for the
-    # same map-only plan depending on how drained the budget was).
-    # Run the suite twice with the second pass rotated by half the
-    # list, release all session caches between passes (so pass 2 is
-    # cache-cold, not artificially warm), and report the per-query MIN
-    # — each query gets one early-sequence and one late-sequence slot,
-    # and min-of-2 discards whichever slot the throttle hit.
+
+def run_suite(spark, sf_dir: str, n_turns: int, sf, cpus: int) -> dict:
+    """The full 15-query, 2-pass rotated protocol; returns the JSON dict.
+
+    Position-bias hardening (VERDICT r3 next-#7): the host is
+    credit-throttled, so a query's measured time drifts with its
+    POSITION in the run (doc_quality_v2 measured 0.8-13.2 s for the
+    same map-only plan depending on how drained the budget was).
+    Run the suite twice with the second pass rotated by half the
+    list, release all session caches between passes (so pass 2 is
+    cache-cold, not artificially warm), and report the per-query MIN
+    — each query gets one early-sequence and one late-sequence slot,
+    and min-of-2 discards whichever slot the throttle hit.
+    """
     from ocr_image_to_text_spark.cachectl import release_all
 
+    headline = headline_queries()
     rot = len(headline) // 2
     orders = [headline, headline[rot:] + headline[:rot]]
     passes: list[dict[str, float]] = []
@@ -107,12 +101,12 @@ def main() -> None:
     extract_sec = timings.get("extract_rollup", 0.0)
     turns_per_sec = round(n_turns / extract_sec, 1) if extract_sec > 0 else 0.0
 
-    print(json.dumps({
+    return {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf,
         "turns_per_sec": turns_per_sec,
         "n_turns": n_turns,
         "cpus": cpus,
@@ -123,7 +117,27 @@ def main() -> None:
             "pass_totals": [round(sum(v for v in p.values() if v > 0), 3)
                             for p in passes],
         },
-    }))
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    from ocr_image_to_text_spark.session import get_spark
+    from ocr_image_to_text_spark.transcripts import ensure_transcripts_for_sf_dir
+
+    # Synthetic transcripts are generated (cached) outside the timed region.
+    tpath = ensure_transcripts_for_sf_dir(sf_dir)
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    n_turns = spark.read.parquet(tpath).count()
+
+    result = run_suite(
+        spark, sf_dir, n_turns,
+        float(sf) if sf.replace(".", "").isdigit() else sf, cpus)
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -76,6 +76,13 @@ _LOCAL_IMPORT_RE = re.compile(
 _CONST_TYPES = (int, float, str, bool, bytes, tuple, frozenset)
 
 
+def _is_const_name(n: str) -> bool:
+    """UPPERCASE public names are hashed as constants; underscore-prefixed
+    uppercase names (_LIVE, _EXT_CACHE, ...) are runtime caches whose live
+    repr depends on what already executed in the process — never hash."""
+    return n.isupper() and not n.startswith("_")
+
+
 def _is_pkg_obj(v) -> bool:
     mod = getattr(v, "__module__", "") or ""
     return mod == PKG or mod.startswith(PKG + ".")
@@ -122,9 +129,9 @@ def _walk(fn, seen: set, sources: list) -> None:
                     sources.append(inspect.getsource(v))
                 except (OSError, TypeError):
                     sources.append(repr(v))
-        elif isinstance(v, _CONST_TYPES) and n.isupper():
+        elif isinstance(v, _CONST_TYPES) and _is_const_name(n):
             sources.append(f"{n}={v!r}")
-        elif isinstance(v, (dict, list)) and n.isupper():
+        elif isinstance(v, (dict, list)) and _is_const_name(n):
             sources.append(f"{n}={v!r}")
     # module-attribute references: `dedup.minhash_lsh_pairs` names both
     # "dedup" and "minhash_lsh_pairs" in co_names
@@ -135,7 +142,8 @@ def _walk(fn, seen: set, sources: list) -> None:
                 continue
             if inspect.isfunction(v) and _is_pkg_obj(v):
                 _walk(v, seen, sources)
-            elif isinstance(v, _CONST_TYPES + (dict, list)) and n.isupper():
+            elif (isinstance(v, _CONST_TYPES + (dict, list))
+                    and _is_const_name(n)):
                 sources.append(f"{m.__name__}.{n}={v!r}")
     # function-local `from .mod import name` imports (parenthesized
     # multi-line import lists supported; names never cross a newline)
@@ -160,7 +168,8 @@ def _walk(fn, seen: set, sources: list) -> None:
                         sources.append(inspect.getsource(v))
                     except (OSError, TypeError):
                         sources.append(repr(v))
-            elif isinstance(v, _CONST_TYPES + (dict, list)) and item.isupper():
+            elif (isinstance(v, _CONST_TYPES + (dict, list))
+                    and _is_const_name(item)):
                 sources.append(f"{mod_name}.{item}={v!r}")
 
 

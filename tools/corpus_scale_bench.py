@@ -7,7 +7,10 @@ credit-throttle drift hits both tiers equally, and prints the time
 ratio next to the plan's claimed complexity. Expectation:
 
   dedup_minhash_lsh   ~O(n)         ratio ≈ 10 (band explode + verify)
-  dedup_simhash_pairs ~O(n + pairs) ratio ≈ 10 unless near-dup density grows
+  dedup_simhash_pairs ~O(n + pairs) ratio ≈ 10 (r5: the primary name is
+                      now the 64-bit/16-bit-band config, whose bucket
+                      fan-out stays flat where the old 8-bit bands grew
+                      a birthday term — see BENCH.md r4/r5 exhibits)
   doc_bm25_topk       ~O(tokens)    ratio ≈ 10
   corpus_pipeline_v3  ~O(tokens)    ratio ≈ 10
   emb_dup_pairs       O(n²) exact-verify BY DECLARATION → ratio ≈ 100
@@ -65,6 +68,16 @@ WAVE3 = [
 ]
 
 
+# r5 exhibit (--simhash): the re-pointed primary (64-bit/16-bit bands)
+# next to the historical narrow form — the direct measurement of the
+# band-width knob the r4 exhibit identified (narrow grew 17.5× at 10×
+# docs from the 256-bucket birthday term; wide bucket fan-out stays flat)
+SIMHASH = [
+    ("dedup_simhash_pairs", q.dedup_simhash_pairs),
+    ("dedup_simhash_pairs_narrow", q.dedup_simhash_pairs_narrow),
+]
+
+
 def timed(spark, fn, sf_dir) -> float:
     release_all()
     t0 = time.perf_counter()
@@ -81,6 +94,7 @@ def main() -> None:
     spark = get_spark("corpus-scale", master="local[32]")
     fam = (WAVE2 if "--wave2" in sys.argv
            else WAVE3 if "--wave3" in sys.argv
+           else SIMHASH if "--simhash" in sys.argv
            else LINEAR + ([] if skip_quad else QUADRATIC))
     out = {}
     for name, fn in fam:

@@ -76,15 +76,48 @@ def gen_embeddings(n_vecs: int) -> pa.Table:
     })
 
 
+def gen_events(n_events: int) -> pa.Table:
+    """events(event_id bigint, ts timestamp, user_id bigint,
+    event_type varchar, value double, props varchar) — same shape and
+    statistics as the driver's sf0.1 events (profiled 2026-08-18):
+    30-day Jan-2024 window, uniform event types, ~67 events/user
+    (users scale with rows so per-user session density is preserved),
+    value ~ Exp(mean 50), props = {"k": int}."""
+    rng = random.Random(f"events:{SEED}")
+    n_users = max(n_events * 1500 // 100_000, 1)
+    base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+    span_us = 30 * 24 * 3600 * 1_000_000
+    types = ["click", "error", "purchase", "signup", "view"]
+    ts, uid, et, val, props = [], [], [], [], []
+    for _ in range(n_events):
+        ts.append(base_us + rng.randrange(span_us))
+        uid.append(rng.randrange(n_users))
+        et.append(rng.choice(types))
+        val.append(round(min(rng.expovariate(1 / 50.0), 560.0), 2))
+        props.append('{"k": %d}' % rng.randrange(100))
+    return pa.table({
+        "event_id": pa.array(range(n_events), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "value": pa.array(val, pa.float64()),
+        "props": pa.array(props, pa.string()),
+    })
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n_vecs = n_docs * 2000 // 5000  # sf0.1 ratio: 5k docs / 2k vecs
+    n_events = n_docs * 100_000 // 5000  # sf0.1 ratio: 5k docs / 100k events
     os.makedirs(OUT, exist_ok=True)
     pq.write_table(gen_documents(n_docs),
                    os.path.join(OUT, "documents.parquet"))
     pq.write_table(gen_embeddings(n_vecs),
                    os.path.join(OUT, "embeddings.parquet"))
-    print(f"wrote {OUT}: documents={n_docs} embeddings={n_vecs}")
+    pq.write_table(gen_events(n_events),
+                   os.path.join(OUT, "events.parquet"))
+    print(f"wrote {OUT}: documents={n_docs} embeddings={n_vecs} "
+          f"events={n_events}")
 
 
 if __name__ == "__main__":
