@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q.dedup_simhash_pairs,
         "dedup_simhash_pairs_narrow": q.dedup_simhash_pairs_narrow,
         "dedup_clusters_star": q.dedup_clusters_star,
+        "tpch_profit_by_nation": q.tpch_profit_by_nation,
+        "tpch_disjunctive_revenue": q.tpch_disjunctive_revenue,
+        "tpch_waiting_suppliers": q.tpch_waiting_suppliers,
+        "tpch_part_supplier_counts": q.tpch_part_supplier_counts,
         # --- (B) never in any CORRECTNESS_r*.json (VERDICT r4 list) ---
         "doc_length_histogram": q.doc_length_histogram,
         "corpus_length_quantiles": q.corpus_length_quantiles,
@@ -105,11 +109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q.doc_token_counts,
         "doc_fingerprints": q.doc_fingerprints,
         "doc_entities": q.doc_entities,
+        # ---- end of the 50-entry certified prefix ----
         "doc_quality_v2": q.doc_quality_v2,
         "ann_cosine_topk": q.ann_cosine_topk,
         "events_hourly": q.events_hourly,
         "events_sessions": q.events_sessions,
-        # ---- end of the 50-entry certified prefix ----
         # --- r4-certified block (CORRECTNESS_r04, green) ---
         "tpch_top_supplier": q.tpch_top_supplier,
         "tpch_priority_returns": q.tpch_priority_returns,
@@ -2728,6 +2732,63 @@ def oracle_sql() -> dict[str, str]:
             FROM rev, mx
             JOIN supplier s ON s.s_suppkey = rev.l_suppkey
             WHERE rev.total_revenue_c = mx.m""",
+        "tpch_profit_by_nation": r"""
+            SELECT n.n_name nation,
+                   cast(year(o.o_orderdate) as bigint) o_year,
+                   cast(count(*) as bigint) n_lines,
+                   cast(sum(cast(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100.0 + 0.5)
+                                 as bigint)) as bigint) profit_c
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY nation, o_year""",
+        "tpch_disjunctive_revenue": r"""
+            SELECT cast(count(*) as bigint) n_lines,
+                   cast(sum(cast(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100.0 + 0.5)
+                                 as bigint)) as bigint) revenue_c
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)""",
+        "tpch_waiting_suppliers": r"""
+            WITH lo AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                     cast(l.l_shipdate as date) l_d,
+                     cast(o.o_orderdate as date) o_d
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              WHERE o.o_orderstatus = 'F'),
+            l1 AS (SELECT * FROM lo WHERE l_d > o_d + 60)
+            SELECT s.s_name, cast(count(*) as bigint) numwait
+            FROM l1
+            JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM l1 l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 10""",
+        "tpch_part_supplier_counts": r"""
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   cast(count(DISTINCT l.l_suppkey) as bigint) supplier_cnt
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand <> 'Brand#1'
+              AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+              AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_acctbal < 0)
+            GROUP BY p.p_brand, p.p_type, p.p_size""",
         "tpch_nation_volume": r"""
             WITH s AS (
               SELECT s_suppkey, n_name supp_nation

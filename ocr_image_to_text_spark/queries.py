@@ -3434,6 +3434,133 @@ def tpch_market_share(spark, sf_dir, nation: str = "NATION_3"):
                 / F.col("total_rev_c")).cast("long").alias("share_x1e6"))
 
 
+def tpch_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year): the
+    five-way join tree — part(filtered) ⨝ lineitem ⨝ supplier ⨝
+    nation ⨝ orders — that exercises Catalyst's join ordering. The
+    driver's schema ships no partsupp/ps_supplycost, so profit is the
+    discounted-revenue term only (documented adaptation; the join
+    SHAPE is the point). part is filtered BEFORE the join (predicate
+    pushed to its scan); nation is the only broadcast (25 fixed rows);
+    part/supplier/orders attachments shuffle on their keys (SF-linear,
+    never hinted). Per-row floored cents. Output: (nation, o_year,
+    n_lines, profit_c)."""
+    part = (spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+            .filter(F.col("p_name").contains("red"))
+            .select("p_partkey"))
+    nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    sup = (spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+           .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+           .select("s_suppkey", F.col("n_name").alias("nation")))
+    orders = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .select("o_orderkey",
+                      F.year("o_orderdate").cast("long").alias("o_year")))
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+                  _cents(F.col("l_extendedprice")
+                         * (F.lit(1.0) - F.col("l_discount"))).alias("pc")))
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+         .join(sup, li.l_suppkey == sup.s_suppkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey))
+    return (j.groupBy("nation", "o_year")
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum("pc").cast("long").alias("profit_c")))
+
+
+def tpch_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue under an OR of predicate
+    conjunctions): three (brand, size-range, quantity-range) arms OR-ed
+    together — the disjunction that tests predicate pushdown through a
+    join (each arm mixes part attrs with lineitem attrs, so only the
+    per-side envelopes prune scans; the residual OR evaluates post-join,
+    exactly as Catalyst plans it). part⨝lineitem shuffles on partkey
+    (both SF-linear, no hints). Output: one row (n_lines, revenue_c)."""
+    part = (spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+            .select("p_partkey", "p_brand", "p_size"))
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .select("l_partkey", "l_quantity",
+                  _cents(F.col("l_extendedprice")
+                         * (F.lit(1.0) - F.col("l_discount"))).alias("rc")))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1) & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi))
+    cond = (arm("Brand#12", 5, 1, 11) | arm("Brand#21", 10, 10, 20)
+            | arm("Brand#15", 15, 20, 30))
+    return (j.filter(cond)
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum("rc").cast("long").alias("revenue_c")))
+
+
+def tpch_waiting_suppliers(spark, sf_dir, k: int = 10):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS + NOT-EXISTS pair over the SAME fact table — for finished
+    orders, count a supplier's late lines where at least one OTHER
+    supplier fed the same order (LeftSemi with an inequality residual)
+    and NO other supplier was late on it (LeftAnti, same condition
+    shape on the late subset). The driver's schema ships no
+    l_commitdate/l_receiptdate, so 'late' = shipped more than 60 days
+    after the order date (documented adaptation; the semi/anti join
+    pair is the point). Both probe sides are distinct (orderkey,
+    suppkey) frames co-keyed on orderkey, so the two joins reuse one
+    shuffle partitioning; top-k compiles to TakeOrderedAndProject with
+    a full (numwait desc, s_name asc) tie-break. Output: (s_name,
+    numwait)."""
+    orders = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", F.to_date("o_orderdate").alias("o_d")))
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .select("l_orderkey", "l_suppkey",
+                  F.to_date("l_shipdate").alias("l_d")))
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("l_d") > F.date_add(F.col("o_d"), 60))
+            .select("l_orderkey", "l_suppkey"))
+    late_pairs = late.distinct()
+    p2 = pairs.select(F.col("l_orderkey").alias("p_ok"),
+                      F.col("l_suppkey").alias("p_sk"))
+    p3 = late_pairs.select(F.col("l_orderkey").alias("q_ok"),
+                           F.col("l_suppkey").alias("q_sk"))
+    l1 = (late
+          .join(p2, (F.col("l_orderkey") == F.col("p_ok"))
+                & (F.col("l_suppkey") != F.col("p_sk")), "left_semi")
+          .join(p3, (F.col("l_orderkey") == F.col("q_ok"))
+                & (F.col("l_suppkey") != F.col("q_sk")), "left_anti"))
+    sup = (spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+           .select("s_suppkey", "s_name"))
+    return (l1.join(sup, l1.l_suppkey == sup.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").cast("long").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name").limit(k))
+
+
+def tpch_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (supplier counts per part group, NOT-IN
+    exclusion): distinct suppliers per (p_brand, p_type, p_size) for a
+    size list, excluding one brand and excluding a supplier deny-set
+    via LeftAnti (the NOT IN subquery form; the driver's schema ships
+    no s_comment, so the deny-set is suppliers with negative acctbal —
+    documented adaptation). The part filter pushes to its scan; the
+    deny-set anti-join broadcasts (tiny); the distinct count is the one
+    real shuffle on the group keys. Output: (p_brand, p_type, p_size,
+    supplier_cnt)."""
+    sizes = [1, 5, 9, 14, 19, 23, 36, 45]
+    part = (spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+            .filter((F.col("p_brand") != "Brand#1")
+                    & F.col("p_size").isin(sizes))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    deny = (spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+            .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .select("l_partkey", "l_suppkey"))
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+         .join(deny, li.l_suppkey == deny.s_suppkey, "left_anti"))
+    return (j.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("l_suppkey").cast("long")
+                 .alias("supplier_cnt")))
+
+
 def events_retention(spark, sf_dir):
     """Next-day user retention — the cohort-health rollup every event
     pipeline publishes: per day, distinct active users and the share
