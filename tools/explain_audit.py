@@ -81,6 +81,24 @@ AUDITS = [
     ("ann_ivf_recall",
      ["BroadcastExchange", "HashAggregate|SortAggregate"],
      ["Python", "CartesianProduct"]),
+    # r5: Q21 shape — the EXISTS/NOT-EXISTS pair must compile to
+    # LeftSemi + LeftAnti equi-joins with inequality RESIDUALS (a
+    # BroadcastNestedLoop or cartesian would betray a lost equi-key);
+    # Q16's NOT-IN deny-set is a LeftAnti; Q9 is a pure join tree
+    ("tpch_waiting_suppliers", ["LeftSemi", "LeftAnti"],
+     ["CartesianProduct", "BroadcastNestedLoop", "Python"]),
+    ("tpch_part_supplier_counts", ["LeftAnti", "HashAggregate"],
+     ["CartesianProduct", "BroadcastNestedLoop", "Python"]),
+    ("tpch_profit_by_nation",
+     ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "HashAggregate"],
+     ["CartesianProduct", "Python"]),
+    ("tpch_disjunctive_revenue",
+     ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "HashAggregate"],
+     ["CartesianProduct", "Python"]),
+    # r5: layout-analysis summary — map-only over boxes turns: one Arrow
+    # UDF, pruned scan, no shuffle/join
+    ("extract_layout_analysis", ["ArrowEvalPython", "Filter"],
+     ["Exchange", "Join", "BatchEvalPython"]),
     # r5: the explicit-salting seam in a registry query — the Generate
     # node is the dim-side salt explode; the join clusters on
     # (conv_id, _salt); never a cartesian, never Python
