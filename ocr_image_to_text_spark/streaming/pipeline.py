@@ -234,7 +234,7 @@ MINHASH_PAIR_SCHEMA = StructType([
 MINHASH_BUCKET_STATE_SCHEMA = StructType([
     StructField("conv_ids", ArrayType(StringType())),
     StructField("turn_idxs", ArrayType(LongType())),
-    StructField("max_ts_ms", LongType()),
+    StructField("ts_ms", ArrayType(LongType())),
 ])
 
 
@@ -245,14 +245,25 @@ def _make_band_bucket_fn(horizon_ms: int, bucket_cap: int | None):
         landed here within the watermark horizon; every new arrival
         emits a candidate pair against each resident member. The
         streaming analog of the batch band-bucket self-join
-        (dedup.minhash_lsh_pairs candidate stage)."""
+        (dedup.minhash_lsh_pairs candidate stage).
+
+        Eviction is TWO-SIDED: the EventTimeTimeout clears buckets that
+        go fully idle past the horizon (state-store boundedness), and
+        members whose (ts + horizon) fell behind the current watermark
+        are dropped INLINE before pairing — a timed-out key that also
+        receives new data in the same micro-batch is invoked with its
+        old state and hasTimedOut=False, so the inline filter is what
+        actually enforces the residency window on active buckets."""
         if state.hasTimedOut:
-            state.remove()  # horizon passed: the bucket empties
+            state.remove()  # fully idle past the horizon: bucket empties
             yield pd.DataFrame(
                 {"conv_a": [], "turn_a": [], "conv_b": [], "turn_b": []})
             return
-        convs, idxs, max_ts = (state.get if state.exists else ((), (), 0))
-        members = [(c, int(i)) for c, i in zip(convs, idxs)]
+        convs, idxs, tss = (state.get if state.exists else ((), (), ()))
+        wm = state.getCurrentWatermarkMs()
+        members = [(c, int(i), int(t))
+                   for c, i, t in zip(convs, idxs, tss)
+                   if int(t) + horizon_ms >= wm]
         new_rows: list[tuple[str, int, int]] = []
         for pdf in pdfs:
             for conv, ti, ts in zip(pdf["conv_id"], pdf["turn_idx"],
@@ -263,18 +274,18 @@ def _make_band_bucket_fn(horizon_ms: int, bucket_cap: int | None):
         out: list[tuple[str, int, str, int]] = []
         for conv, ti, ts_ms in new_rows:
             me = (conv, ti)
-            for other in members:
-                if other == me:
+            for oc, oi, _ot in members:
+                if (oc, oi) == me:
                     continue
-                a, b = (other, me) if other < me else (me, other)
+                a, b = ((oc, oi), me) if (oc, oi) < me else (me, (oc, oi))
                 out.append((a[0], a[1], b[0], b[1]))
             if bucket_cap is None or len(members) < bucket_cap:
-                members.append(me)
-            max_ts = max(max_ts, ts_ms)
+                members.append((conv, ti, ts_ms))
         state.update(([m[0] for m in members], [m[1] for m in members],
-                      max_ts))
-        # bucket residency = the late-data horizon past the newest member
-        state.setTimeoutTimestamp(max_ts + horizon_ms)
+                      [m[2] for m in members]))
+        # bucket idle-timeout = the horizon past the newest member
+        max_ts = max(m[2] for m in members) if members else wm
+        state.setTimeoutTimestamp(max(max_ts + horizon_ms, wm + 1))
         yield pd.DataFrame(out, columns=["conv_a", "turn_a",
                                          "conv_b", "turn_b"])
 

@@ -221,6 +221,57 @@ def test_minhash_candidates_stream_equals_batch(spark, tmp_path, split_source):
     assert 0 < n_first < len(got), "wave 2 added cross-wave candidate pairs"
 
 
+def test_minhash_candidates_bucket_expiry(spark, tmp_path):
+    """State boundedness: a band bucket whose timeout (last member ts +
+    horizon) falls behind the advancing watermark is EVICTED, so a much
+    later arrival with the same band key does not pair with it. Three
+    identical texts A@t0, B@t0+3h, C@t0+6h with a 1h horizon:
+    (A,B) pairs in run 2 (the checkpointed watermark still trails A's
+    timeout — watermark semantics, eviction is never early), run 2's
+    final watermark (B - 1h) then passes A's timeout and clears it, so
+    run 3 pairs (B,C) but never (A,C)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from ocr_image_to_text_spark.streaming.pipeline import (
+        minhash_candidates_stream)
+
+    d = tmp_path / "src"
+    d.mkdir()
+    out, ckpt = str(tmp_path / "exout"), str(tmp_path / "exckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    text = "the quick brown fox jumps over the lazy dog tonight"
+
+    def wave(fname, conv, ts):
+        tbl = pa.table({
+            "conv_id": pa.array([conv], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array([text], pa.string()),
+            "tool": pa.array([""], pa.string()),
+            "ts": pa.array([ts], pa.timestamp("us")),
+        })
+        pq.write_table(tbl, str(d / fname))
+
+    hour_ms = 3600 * 1000
+    wave("w0.parquet", "conv-A", t0)
+    minhash_candidates_stream(spark, str(d), out, ckpt,
+                              watermark="1 hour", horizon_ms=hour_ms)
+    wave("w1.parquet", "conv-B", t0 + dt.timedelta(hours=3))
+    minhash_candidates_stream(spark, str(d), out, ckpt,
+                              watermark="1 hour", horizon_ms=hour_ms)
+    wave("w2.parquet", "conv-C", t0 + dt.timedelta(hours=6))
+    minhash_candidates_stream(spark, str(d), out, ckpt,
+                              watermark="1 hour", horizon_ms=hour_ms)
+
+    got = {(r.conv_a, r.conv_b)
+           for r in spark.read.parquet(out).collect()}
+    assert ("conv-A", "conv-B") in got  # within A's residency window
+    assert ("conv-B", "conv-C") in got  # B still resident at C
+    assert ("conv-A", "conv-C") not in got  # A's bucket was evicted
+
+
 def test_quality_gate_stream_equals_batch(spark, tmp_path, split_source):
     """Streaming Gopher-gate + redaction must equal the batch filter +
     redaction over the same turns, including across a late-arrival
