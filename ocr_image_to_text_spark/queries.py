@@ -3198,6 +3198,58 @@ def corpus_bpe_merge2(spark, sf_dir, k: int = 30):
             .orderBy(F.desc("pair_count"), F.asc("pair")).limit(k))
 
 
+def corpus_bpe_encode(spark, sf_dir, n_merges: int = 3):
+    """BPE ENCODING with learned merges (Sennrich et al. 2016 §3.1 apply
+    step) — completes the tokenizer-training loop the pair-count and
+    merge-iteration queries started: learn the first `n_merges` merges
+    iteratively on the corpus, apply them to the vocabulary, and report
+    each document's token count under the learned tokenizer. Scale: the
+    trainer loop runs entirely on the compacted word-TYPE frame
+    (weighted by count — O(vocab) per iteration, never O(corpus)); each
+    chosen merge is a 1-row broadcast; greedy left-to-right
+    non-overlapping application IS literal string `replace` in both
+    engines (the r4-proven rule); the encoded vocabulary is a
+    vocab-sized dimension the occurrence stream equi-joins on the word
+    key (hint-free — broadcastable when the vocab fits, shuffle-join at
+    10^7-type corpus scale). Output: (doc_id, n_words, n_bpe_tokens)."""
+    docs = _docs(spark, sf_dir)
+    word = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0))
+    occ = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      word.alias("w"))
+    wt = tracked_cache(
+        occ.groupBy("w").agg(F.count("*").alias("n"))
+        .select("w", F.concat_ws(
+            " ", F.regexp_extract_all(F.col("w"), F.lit(r"."), 0))
+            .alias("sw"), "n"))
+
+    def sym_pairs(frame):
+        sy = F.split(F.col("sw"), " ")
+        pairs = F.expr(
+            "transform(sequence(1, size(split(sw, ' ')) - 1),"
+            " i -> concat(element_at(split(sw, ' '), i), ' ',"
+            " element_at(split(sw, ' '), i + 1)))")
+        return (frame.filter(F.size(sy) >= 2)
+                .select(F.explode(pairs).alias("pair"), "n"))
+
+    cur = wt
+    for _ in range(n_merges):
+        p = (sym_pairs(cur)
+             .groupBy("pair").agg(F.sum("n").alias("c"))
+             .orderBy(F.desc("c"), F.asc("pair")).limit(1)
+             .select("pair"))
+        cur = cur.crossJoin(F.broadcast(p)).select(
+            "w",
+            F.expr("replace(sw, pair, replace(pair, ' ', ''))")
+            .alias("sw"), "n")
+    enc = cur.select(
+        "w", F.size(F.split("sw", " ")).cast("long").alias("n_sym"))
+    return (occ.join(enc, "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("n_sym").cast("long").alias("n_bpe_tokens")))
+
+
 def tpch_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape (scalar MAX subquery → argmax-equality join):
     the quarter's top supplier(s) by discounted revenue. The per-
