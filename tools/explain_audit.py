@@ -95,6 +95,11 @@ AUDITS = [
     ("tpch_disjunctive_revenue",
      ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "HashAggregate"],
      ["CartesianProduct", "Python"]),
+    # r5: BPE encode — vocab-bounded aggregates + 1-row merge broadcasts
+    # (BroadcastNestedLoop on a 1-row parameter attach is sanctioned);
+    # never a data-side cartesian, never Python
+    ("corpus_bpe_encode", ["HashAggregate|SortAggregate"],
+     ["CartesianProduct", "Python"]),
     # r5: layout-analysis summary — map-only over boxes turns: one Arrow
     # UDF, pruned scan, no shuffle/join
     ("extract_layout_analysis", ["ArrowEvalPython", "Filter"],
