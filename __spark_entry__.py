@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_waiting_suppliers": q.tpch_waiting_suppliers,
         "tpch_part_supplier_counts": q.tpch_part_supplier_counts,
         "corpus_bpe_encode": q.corpus_bpe_encode,
+        "tpch_cheapest_supplier": q.tpch_cheapest_supplier,
         # --- (B) never in any CORRECTNESS_r*.json (VERDICT r4 list) ---
         "doc_length_histogram": q.doc_length_histogram,
         "corpus_length_quantiles": q.corpus_length_quantiles,
@@ -108,8 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q.dedup_minhash_lsh,
         "doc_simhash": q.doc_simhash,
         "doc_token_counts": q.doc_token_counts,
-        "doc_fingerprints": q.doc_fingerprints,
         # ---- end of the 50-entry certified prefix ----
+        "doc_fingerprints": q.doc_fingerprints,
         "doc_entities": q.doc_entities,
         "doc_quality_v2": q.doc_quality_v2,
         "ann_cosine_topk": q.ann_cosine_topk,
@@ -2816,6 +2817,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s.s_name
             LIMIT 10""",
+        "tpch_cheapest_supplier": r"""
+            WITH ps AS (
+              SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+                     min(cast(floor(l.l_extendedprice / l.l_quantity
+                                    * 100.0 + 0.5) as bigint)) supp_unit_c
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE p.p_size <= 10
+              GROUP BY p.p_partkey, p.p_brand, l.l_suppkey),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY p_partkey
+                      ORDER BY supp_unit_c, l_suppkey) rn
+                  FROM ps)
+            SELECT cast(p_partkey as bigint) p_partkey, p_brand,
+                   cast(l_suppkey as bigint) best_suppkey,
+                   cast(supp_unit_c as bigint) best_unit_c
+            FROM r WHERE rn = 1""",
         "tpch_part_supplier_counts": r"""
             SELECT p.p_brand, p.p_type, p.p_size,
                    cast(count(DISTINCT l.l_suppkey) as bigint) supplier_cnt

@@ -3198,6 +3198,45 @@ def corpus_bpe_merge2(spark, sf_dir, k: int = 30):
             .orderBy(F.desc("pair_count"), F.asc("pair")).limit(k))
 
 
+def tpch_cheapest_supplier(spark, sf_dir, size_max: int = 10):
+    """TPC-H Q2 shape (minimum-cost supplier per part): the correlated
+    per-GROUP scalar-min subquery — `ps_supplycost = (SELECT min(...)
+    WHERE ps_partkey = p_partkey)` — decorrelated the way Catalyst
+    plans it: one (part, supplier) rollup, a per-part min, and an
+    equality join-back, expressed as a single min_by/min aggregate pair
+    so no second scan and no window over the whole fact is needed. The
+    driver's schema ships no partsupp, so 'cost' is the supplier's
+    minimum per-unit price for the part observed in lineitem (floored
+    cents at the ROW level — documented adaptation; the groupwise
+    argmin is the point, complementing Q15's GLOBAL argmax and Q17's
+    per-group scalar average). Ties break to the smaller suppkey via
+    the composite min_by key, deterministically on both engines. The
+    part filter pushes to its scan; both real joins shuffle on their
+    keys (SF-linear, hint-free). Output: (p_partkey, p_brand,
+    best_suppkey, best_unit_c)."""
+    part = (spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+            .filter(F.col("p_size") <= size_max)
+            .select("p_partkey", "p_brand"))
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .select("l_partkey", "l_suppkey",
+                  F.floor(F.col("l_extendedprice") / F.col("l_quantity")
+                          * 100.0 + 0.5).cast("long").alias("unit_c")))
+    ps = (li.join(part, li.l_partkey == part.p_partkey)
+          .groupBy("p_partkey", "p_brand", "l_suppkey")
+          .agg(F.min("unit_c").alias("supp_unit_c")))
+    # groupwise argmin with deterministic tie-break: min_by over the
+    # composite (cost, suppkey) key picks the cheapest supplier, lowest
+    # suppkey on cost ties — one aggregate, no join-back needed
+    return (ps.groupBy("p_partkey", "p_brand")
+            .agg(F.min_by("l_suppkey",
+                          F.struct(F.col("supp_unit_c"),
+                                   F.col("l_suppkey")))
+                 .cast("long").alias("best_suppkey"),
+                 F.min("supp_unit_c").cast("long").alias("best_unit_c"))
+            .select(F.col("p_partkey").cast("long"), "p_brand",
+                    "best_suppkey", "best_unit_c"))
+
+
 def corpus_bpe_encode(spark, sf_dir, n_merges: int = 3):
     """BPE ENCODING with learned merges (Sennrich et al. 2016 §3.1 apply
     step) — completes the tokenizer-training loop the pair-count and

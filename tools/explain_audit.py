@@ -95,6 +95,12 @@ AUDITS = [
     ("tpch_disjunctive_revenue",
      ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "HashAggregate"],
      ["CartesianProduct", "Python"]),
+    # r5: Q2 groupwise argmin — one rollup + one min_by aggregate, no
+    # window over the fact, no second scan
+    ("tpch_cheapest_supplier",
+     ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "HashAggregate|SortAggregate|ObjectHashAggregate"],
+     ["CartesianProduct", "Python", "Window"]),
     # r5: BPE encode — vocab-bounded aggregates + 1-row merge broadcasts
     # (BroadcastNestedLoop on a 1-row parameter attach is sanctioned);
     # never a data-side cartesian, never Python
