@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_part_supplier_counts": q.tpch_part_supplier_counts,
         "corpus_bpe_encode": q.corpus_bpe_encode,
         "tpch_cheapest_supplier": q.tpch_cheapest_supplier,
+        "dedup_apply_minhash": q.dedup_apply_minhash,
         # --- (B) never in any CORRECTNESS_r*.json (VERDICT r4 list) ---
         "doc_length_histogram": q.doc_length_histogram,
         "corpus_length_quantiles": q.corpus_length_quantiles,
@@ -108,8 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q.dedup_exact,
         "dedup_minhash_lsh": q.dedup_minhash_lsh,
         "doc_simhash": q.doc_simhash,
-        "doc_token_counts": q.doc_token_counts,
         # ---- end of the 50-entry certified prefix ----
+        "doc_token_counts": q.doc_token_counts,
         "doc_fingerprints": q.doc_fingerprints,
         "doc_entities": q.doc_entities,
         "doc_quality_v2": q.doc_quality_v2,
@@ -1324,6 +1325,39 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLES}
             SELECT cast(da as bigint) doc_a, cast(db as bigint) doc_b, jacc_x1000
             FROM jac WHERE jacc_x1000 >= 100""",
+        "dedup_apply_minhash": f"""
+            WITH RECURSIVE {_SHINGLES},
+            sig AS (SELECT doc_id,
+          {sigs}
+                FROM shl),
+            bands AS (
+  {bands}),
+            cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db
+                     FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.band_key = y.band_key
+                        AND x.doc_id < y.doc_id),
+            p AS (SELECT cand.da, cand.db
+                  FROM cand JOIN jac
+                    ON cand.da = jac.da AND cand.db = jac.db
+                  WHERE jac.jacc_x1000 >= 100),
+            e AS (SELECT da src, db dst FROM p
+                  UNION ALL SELECT db, da FROM p),
+            reach AS (
+                SELECT src AS doc_id, src AS lbl FROM e
+                UNION
+                SELECT e.dst, reach.lbl
+                FROM reach JOIN e ON e.src = reach.doc_id
+            ),
+            asg AS (SELECT doc_id, min(lbl) cluster_id
+                    FROM reach GROUP BY doc_id),
+            tot AS (SELECT cast(count(*) as bigint) n_docs FROM documents),
+            st AS (SELECT cast(count(*) as bigint) n_near_dup_docs,
+                          cast(sum(CASE WHEN doc_id <> cluster_id
+                                   THEN 1 ELSE 0 END) as bigint) n_dropped
+                   FROM asg)
+            SELECT tot.n_docs, st.n_near_dup_docs, st.n_dropped,
+                   cast(tot.n_docs - st.n_dropped as bigint) n_kept
+            FROM tot, st""",
         "dedup_minhash_lsh": f"""
             WITH {_SHINGLES},
             sig AS (SELECT doc_id,

@@ -3198,6 +3198,33 @@ def corpus_bpe_merge2(spark, sf_dir, k: int = 30):
             .orderBy(F.desc("pair_count"), F.asc("pair")).limit(k))
 
 
+def dedup_apply_minhash(spark, sf_dir):
+    """The dedup KILL-CHAIN end-to-end — the corpus-level decision a
+    production dedup actually publishes: MinHash-LSH candidate pairs →
+    exact-Jaccard verify (≥0.1) → connected components → keep-the-
+    minimum-doc_id-per-cluster rule → ONE summary row (n_docs,
+    n_near_dup_docs, n_dropped, n_kept). Composes the certified pieces
+    (dedup.minhash_lsh_pairs + dedup.connected_components) so the
+    composition ITSELF is oracle-certified, not just the stages. Scale:
+    the pair/cluster stages carry their own banded/O(log n)-round
+    guarantees; the two 1-row aggregates cross-attach via broadcast
+    (the sanctioned parameter pattern) — no driver-side counts, no
+    collect. Output: (n_docs, n_near_dup_docs, n_dropped, n_kept)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold_x1000=100) \
+        .select("doc_a", "doc_b")
+    comp = dedup.connected_components(pairs)
+    total = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    stats = comp.agg(
+        F.count("*").cast("long").alias("n_near_dup_docs"),
+        F.sum(F.when(F.col("doc_id") != F.col("cluster_id"), 1)
+              .otherwise(0)).cast("long").alias("n_dropped"))
+    return (total.crossJoin(F.broadcast(stats))
+            .select("n_docs", "n_near_dup_docs", "n_dropped",
+                    (F.col("n_docs") - F.col("n_dropped")).cast("long")
+                    .alias("n_kept")))
+
+
 def tpch_cheapest_supplier(spark, sf_dir, size_max: int = 10):
     """TPC-H Q2 shape (minimum-cost supplier per part): the correlated
     per-GROUP scalar-min subquery — `ps_supplycost = (SELECT min(...)
