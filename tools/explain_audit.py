@@ -95,6 +95,14 @@ AUDITS = [
     ("tpch_disjunctive_revenue",
      ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "HashAggregate"],
      ["CartesianProduct", "Python"]),
+    # r5: dedup kill-chain — the label-propagation loop runs at call
+    # time (final frame scans its localCheckpoint → ExistingRDD is
+    # expected, as for dedup_clusters); the two 1-row summary aggregates
+    # cross-attach via broadcast (BroadcastNestedLoop on 1-row frames is
+    # the sanctioned parameter pattern); never a data-side cartesian,
+    # never Python
+    ("dedup_apply_minhash", ["HashAggregate|SortAggregate"],
+     ["CartesianProduct", "EvalPython"]),
     # r5: Q2 groupwise argmin — one rollup + one min_by aggregate, no
     # window over the fact, no second scan
     ("tpch_cheapest_supplier",
